@@ -1,0 +1,208 @@
+"""Full-frame NeRF inference: camera pose -> rendered image.
+
+Parity target: reference NeRFReplicaInferenceHandler
+(nerf/inference/nerf_replica_inference_handler.py:23-277): config + checkpoint
+loading, coarse+fine model construction, `render_coordinates(init, coord)` ->
+uint8 [H, W, 3].
+
+TPU-native design:
+  - the whole pose->image pipeline below ray creation is ONE jitted program
+    (ray gen, chunk map, coarse+fine MLP, compositing); the host only builds
+    the 4x4 pose matrix and converts the final frame to uint8;
+  - chunking is `jax.lax.map` over static tiles inside the jit, not a Python
+    loop (replaces utils/batch_utils.py:7-25);
+  - dispatch is async: `render_pose` returns as soon as XLA enqueues the
+    program; blocking happens only when the caller materializes the ndarray;
+  - two precision modes: "parity" (fp32 params, highest matmul precision —
+    matches the reference CUDA render within PSNR tolerance) and "fast"
+    (bf16 matmul inputs on the MXU);
+  - optional multi-chip ray sharding via `parallel.shard_render` (rays are
+    embarrassingly parallel across a mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_workspaces_explorer_tpu.camera.poses import poses_from_coordinates
+from nerf_workspaces_explorer_tpu.core.config import FrameworkConfig, load_config
+from nerf_workspaces_explorer_tpu.core.types import COORD
+from nerf_workspaces_explorer_tpu.infer.checkpoint import (
+    load_checkpoint,
+    load_torch_checkpoint,
+)
+from nerf_workspaces_explorer_tpu.models.encoding import embedding_output_dim
+from nerf_workspaces_explorer_tpu.models.mlp import NerfMLPSpec, init_nerf_params
+from nerf_workspaces_explorer_tpu.rays.raygen import create_rays
+from nerf_workspaces_explorer_tpu.render.pipeline import (
+    RenderSettings,
+    render_rays_chunked,
+)
+from nerf_workspaces_explorer_tpu.utils.metrics import to8b
+
+
+def settings_from_config(cfg: FrameworkConfig, *, train: bool = False) -> RenderSettings:
+    return RenderSettings(
+        n_samples=cfg.rendering.n_samples,
+        n_importance=cfg.rendering.n_importance,
+        perturb=cfg.rendering.perturb,
+        raw_noise_std=cfg.rendering.raw_noise_std,
+        white_background=cfg.rendering.white_background,
+        endpoint_feat=cfg.experiment.endpoint_feat,
+        num_freqs_3d=cfg.rendering.num_freqs_3d,
+        num_freqs_2d=cfg.rendering.num_freqs_2d,
+        use_view_dirs=cfg.rendering.use_view_dirs,
+        train=train,
+    )
+
+
+def spec_from_config(cfg: FrameworkConfig) -> NerfMLPSpec:
+    return NerfMLPSpec(
+        depth=cfg.model.net_depth,
+        width=cfg.model.net_width,
+        input_ch=embedding_output_dim(cfg.rendering.num_freqs_3d),
+        input_ch_views=(
+            embedding_output_dim(cfg.rendering.num_freqs_2d)
+            if cfg.rendering.use_view_dirs
+            else 0
+        ),
+        use_view_dirs=cfg.rendering.use_view_dirs,
+    )
+
+
+class NeRFRenderer:
+    """Pose -> frame renderer for one workspace's trained NeRF."""
+
+    def __init__(
+        self,
+        office_name: str,
+        ckpt_path: Optional[str] = None,
+        *,
+        config: Optional[FrameworkConfig] = None,
+        precision: str = "parity",
+        chunk: Optional[int] = None,
+        use_pallas: bool = False,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ) -> None:
+        self._office_name = office_name
+        self._ckpt_path = ckpt_path
+        self._config = config if config is not None else load_config(office_name=office_name)
+        self._precision = precision
+        self._chunk = chunk if chunk is not None else self._config.inference.chunk
+        self._use_pallas = use_pallas
+        self._mesh = mesh
+
+        self._spec = spec_from_config(self._config)
+        self._settings = settings_from_config(self._config).for_eval()
+        self._params: Optional[Dict[str, Any]] = None
+        self._render_jit = None
+
+    @property
+    def config(self) -> FrameworkConfig:
+        return self._config
+
+    @property
+    def params(self) -> Optional[Dict[str, Any]]:
+        return self._params
+
+    def initialize_models(self, *, allow_random_init: bool = False, seed: int = 0) -> None:
+        """Load checkpoint weights (torch `.ckpt` or native `.npz`).
+
+        Mirrors reference initialize_models (…inference_handler.py:88-148),
+        including its RuntimeError on a missing checkpoint — unless
+        `allow_random_init` (a framework extension for testing/benchmarks).
+        """
+        if self._ckpt_path is not None and os.path.exists(self._ckpt_path):
+            if self._ckpt_path.endswith(".ckpt"):
+                coarse, fine, _ = load_torch_checkpoint(self._ckpt_path)
+            else:
+                params, _, _, _ = load_checkpoint(self._ckpt_path)
+                coarse, fine = params["coarse"], params["fine"]
+            self._params = {"coarse": coarse, "fine": fine}
+        elif allow_random_init:
+            k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+            self._params = {
+                "coarse": init_nerf_params(k1, self._spec),
+                "fine": init_nerf_params(k2, self._spec),
+            }
+        else:
+            raise RuntimeError(
+                f"Checkpoint path: {self._ckpt_path} for model cannot be found!"
+            )
+
+        if self._precision == "fast":
+            self._params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16), self._params
+            )
+        self._build_render_fn()
+
+    def set_params(self, params: Dict[str, Any]) -> None:
+        """Install externally provided params (e.g. live from a trainer)."""
+        self._params = params
+        self._build_render_fn()
+
+    def _build_render_fn(self) -> None:
+        cfg = self._config
+        h, w = cfg.experiment.image_height, cfg.experiment.image_width
+        near, far = cfg.rendering.depth_range
+        settings = self._settings
+        spec = self._spec
+        chunk = self._chunk
+        use_pallas = self._use_pallas
+        mesh = self._mesh
+        matmul_precision = "highest" if self._precision == "parity" else "default"
+
+        def render_frame(params: Dict[str, Any], c2w: jnp.ndarray) -> jnp.ndarray:
+            with jax.default_matmul_precision(matmul_precision):
+                rays = create_rays(
+                    c2w[None], h, w, cfg.fx, cfg.fy, cfg.cx, cfg.cy, near, far
+                ).reshape(h * w)
+                if self._precision == "fast":
+                    rays = jax.tree.map(lambda x: x.astype(jnp.bfloat16), rays)
+                if use_pallas:
+                    from nerf_workspaces_explorer_tpu.ops.pallas_render import (
+                        render_rays_fused,
+                    )
+
+                    rgb = render_rays_fused(params, rays, settings, spec=spec)
+                elif mesh is not None:
+                    from nerf_workspaces_explorer_tpu.parallel.sharding import (
+                        shard_render,
+                    )
+
+                    rgb = shard_render(
+                        params, rays, settings, mesh, spec=spec, chunk=chunk
+                    )["rgb_fine"]
+                else:
+                    rgb = render_rays_chunked(
+                        params, rays, settings, spec=spec, chunk=chunk
+                    )["rgb_fine"]
+                return rgb.astype(jnp.float32).reshape(h, w, 3)
+
+        self._render_jit = jax.jit(render_frame)
+
+    def render_pose(self, c2w: np.ndarray) -> jax.Array:
+        """Render one camera pose; returns a device array [H, W, 3] float32
+        (non-blocking — materialize with np.asarray to wait)."""
+        if self._render_jit is None:
+            raise RuntimeError("initialize_models() must be called before rendering")
+        return self._render_jit(self._params, jnp.asarray(c2w, dtype=jnp.float32))
+
+    def render_coordinates(self, init_coordinates: COORD, coordinates: COORD) -> np.ndarray:
+        """COORD pair -> uint8 [H, W, 3] frame.
+
+        Matches reference render_coordinates (…inference_handler.py:166-185).
+        """
+        pose = poses_from_coordinates(init_coordinates, [coordinates])[0]
+        rgb = self.render_pose(pose)
+        return to8b(np.asarray(rgb))
+
+    def render_poses(self, c2ws: Sequence[np.ndarray]) -> np.ndarray:
+        """Render a batch of poses -> float32 [N, H, W, 3] (eval/tour path)."""
+        return np.stack([np.asarray(self.render_pose(p)) for p in c2ws], axis=0)

@@ -1,0 +1,115 @@
+"""Depth sampling along rays: stratified coarse samples + inverse-CDF
+hierarchical (importance) sampling.
+
+Parity targets:
+  - coarse linspace z values and stratified perturbation: reference
+    nerf/training/nerf_replica_training_handler.py:547-562 and
+    nerf/inference/nerf_replica_inference_handler.py:216-220;
+  - `sample_pdf` inverse-CDF importance sampling: reference
+    nerf/rays/rays.py:74-121 (including the +1e-5 nan guard and the
+    degenerate-bin denominator guard);
+  - merged fine z values via sort of the concatenation: reference
+    nerf/inference/nerf_replica_inference_handler.py:243.
+
+All functions are pure, statically shaped, and jit/vmap/grad-safe. Sampled z
+values from `sample_pdf` should be wrapped in `jax.lax.stop_gradient` by the
+caller (the reference detaches, …inference_handler.py:239).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def coarse_z_vals(
+    near: jnp.ndarray, far: jnp.ndarray, n_samples: int
+) -> jnp.ndarray:
+    """Linear-in-depth coarse sample positions.
+
+    z = near * (1 - t) + far * t for t in linspace(0, 1, n_samples)
+    (reference …inference_handler.py:216-220).
+
+    Args:
+      near, far: [..., 1].
+    Returns:
+      [..., n_samples] float32.
+    """
+    t = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)
+    return near * (1.0 - t) + far * t
+
+
+def stratified_perturb(z_vals: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """Stratified jitter of sample positions within their bins.
+
+    Matches reference …training_handler.py:553-562: bins are delimited by
+    interval midpoints (clamped by the first/last sample), and one uniform
+    sample is drawn per bin.
+    """
+    mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    upper = jnp.concatenate([mids, z_vals[..., -1:]], axis=-1)
+    lower = jnp.concatenate([z_vals[..., :1], mids], axis=-1)
+    t_rand = jax.random.uniform(key, z_vals.shape, dtype=z_vals.dtype)
+    return lower + (upper - lower) * t_rand
+
+
+def sample_pdf(
+    bins: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_samples: int,
+    *,
+    key: jax.Array | None = None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Inverse-CDF importance sampling (reference nerf/rays/rays.py:74-121).
+
+    Args:
+      bins: [..., B] sorted bin edges (coarse z midpoints).
+      weights: [..., B-1] unnormalized bin weights (coarse weights[1:-1]).
+      n_samples: number of fine samples to draw.
+      deterministic: linspace u values instead of uniform randoms. The
+        reference inference path is always deterministic
+        (…inference_handler.py:238); training uses randoms when perturb > 0.
+    Returns:
+      [..., n_samples] sampled z values (NOT gradient-stopped).
+    """
+    weights = weights + 1e-5  # nan/zero-division guard (reference rays.py:87)
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [..., B]
+
+    if deterministic:
+        u = jnp.linspace(0.0, 1.0, n_samples, dtype=cdf.dtype)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    else:
+        if key is None:
+            raise ValueError("sample_pdf with deterministic=False requires a PRNG key")
+        u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,), dtype=cdf.dtype)
+
+    # searchsorted(right) per ray. cdf is detached like the reference's
+    # cdf.detach() (rays.py:103).
+    cdf_sg = jax.lax.stop_gradient(cdf)
+    inds = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(
+        cdf_sg.reshape(-1, cdf.shape[-1]), u.reshape(-1, n_samples)
+    ).reshape(u.shape)
+
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
+    bins_above = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
+def merge_sorted_z(z_vals: jnp.ndarray, z_samples: jnp.ndarray) -> jnp.ndarray:
+    """Union of coarse and importance z values, sorted per ray.
+
+    Matches reference …inference_handler.py:243 (sort of the concatenation).
+    """
+    return jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
