@@ -1,0 +1,96 @@
+"""Headless rendering CLI: render views from a trained checkpoint.
+
+Covers the GUI's render path without a display (BASELINE.json config 3:
+"multi-view tour" batched renders along camera trajectories).
+
+Usage:
+    # one view from floor-plan relative coordinates:
+    python -m nerf_workspaces_explorer_tpu.cli.render --office tokyo \
+        --ckpt model.npz --rel-x 0.5 --rel-y 0.5 --hangle 30 --out out/
+
+    # a left-right + up-down camera tour:
+    python -m nerf_workspaces_explorer_tpu.cli.render --office tokyo \
+        --ckpt model.npz --tour --out out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--office", type=str, default="tokyo")
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--rel-x", type=float, default=0.5)
+    parser.add_argument("--rel-y", type=float, default=0.5)
+    parser.add_argument("--hangle", type=int, default=0)
+    parser.add_argument("--vangle", type=int, default=0)
+    parser.add_argument("--tour", action="store_true", help="render a camera tour")
+    parser.add_argument("--tour-step", type=int, default=30, help="angle step (deg)")
+    parser.add_argument("--out", type=str, default="renders")
+    parser.add_argument(
+        "--precision", type=str, default="parity", choices=("parity", "fast")
+    )
+    parser.add_argument(
+        "--random-init",
+        action="store_true",
+        help="render from random weights when no checkpoint exists (smoke tests)",
+    )
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    office = f"office_{str(args.office).lower().strip().replace(' ', '_')}"
+
+    from nerf_workspaces_explorer_tpu.app.workspace import WORKSPACE_CLASSES
+
+    if office not in WORKSPACE_CLASSES:
+        raise RuntimeError(f"Office {office} unknown.")
+
+    workspace = WORKSPACE_CLASSES[office](
+        ckpt_path=args.ckpt, precision=args.precision
+    )
+    workspace.initialize_models(allow_random_init=args.random_init)
+
+    os.makedirs(args.out, exist_ok=True)
+    import imageio
+
+    if not args.tour:
+        start = time.perf_counter()
+        image = workspace.render_image(args.rel_x, args.rel_y, args.hangle, args.vangle)
+        elapsed = time.perf_counter() - start
+        path = os.path.join(
+            args.out, f"{office}_x{args.rel_x}_y{args.rel_y}_h{args.hangle}_v{args.vangle}.png"
+        )
+        imageio.imwrite(path, image)
+        print(f"Rendered {path} in {elapsed:.2f}s")
+        return
+
+    # Tour: sweep horizontal angles then vertical angles (the GUI's four
+    # camera buttons, reference application/app.py:384-414, step 30 deg).
+    frames = []
+    angles = list(range(-90, 91, args.tour_step))
+    start = time.perf_counter()
+    for hangle in angles:
+        frames.append(workspace.render_image(args.rel_x, args.rel_y, hangle, 0))
+    for vangle in angles:
+        frames.append(workspace.render_image(args.rel_x, args.rel_y, 0, vangle))
+    elapsed = time.perf_counter() - start
+    for i, frame in enumerate(frames):
+        imageio.imwrite(os.path.join(args.out, f"{office}_tour_{i:03d}.png"), frame)
+    try:
+        imageio.mimwrite(os.path.join(args.out, f"{office}_tour.mp4"), frames, fps=10)
+    except (ValueError, OSError):
+        pass
+    print(
+        f"Rendered {len(frames)}-frame tour in {elapsed:.2f}s "
+        f"({elapsed / len(frames):.2f}s/frame) -> {args.out}"
+    )
+
+
+if __name__ == "__main__":
+    main()

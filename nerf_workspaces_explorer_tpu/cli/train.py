@@ -1,0 +1,94 @@
+"""Training CLI.
+
+Parity target: reference nerf/train.py:11-56 (`--office` whitelist, YAML
+load, handler setup, per-step wall-clock print). Extensions: `--iterations`
+override, `--resume` (restores step + optimizer state), `--synthetic` (train
+on a generated scene when the Replica data isn't present), `--mesh` for
+multi-chip data parallelism.
+
+Usage:
+    python -m nerf_workspaces_explorer_tpu.cli.train --office tokyo
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+AVAILABLE_OFFICES = ("tokyo", "new_york", "geneve", "belgrade")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--office", type=str, default="tokyo")
+    parser.add_argument("--iterations", type=int, default=None)
+    parser.add_argument("--resume", type=str, default=None, help="checkpoint to resume")
+    parser.add_argument(
+        "--synthetic",
+        action="store_true",
+        help="train on a synthetic scene instead of the Replica dataset",
+    )
+    parser.add_argument("--synthetic-size", type=int, default=64)
+    parser.add_argument("--mesh", type=int, default=0, help="devices for data parallelism")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--save-dir", type=str, default=None)
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    office_name = str(args.office).lower().strip().replace(" ", "_")
+    if office_name not in AVAILABLE_OFFICES:
+        raise RuntimeError(f"Office {office_name} not available for training.")
+    office = f"office_{office_name}"
+
+    from nerf_workspaces_explorer_tpu.core.config import load_config
+    from nerf_workspaces_explorer_tpu.parallel import data_mesh
+    from nerf_workspaces_explorer_tpu.train import Trainer
+
+    config = load_config(office_name=office)
+    mesh = data_mesh(args.mesh) if args.mesh > 0 else None
+
+    train_data = test_data = None
+    if args.synthetic:
+        from nerf_workspaces_explorer_tpu.data import make_synthetic_scene
+
+        size = args.synthetic_size
+        train_data, test_data, _ = make_synthetic_scene(
+            n_train=8, n_test=2, height=size * 3 // 4, width=size, seed=args.seed
+        )
+
+    trainer = Trainer(
+        office,
+        config,
+        train_data=train_data,
+        test_data=test_data,
+        mesh=mesh,
+        seed=args.seed,
+        save_dir=args.save_dir,
+    )
+    trainer.setup()
+
+    start_step = 0
+    if args.resume is not None:
+        start_step = trainer.resume_from_checkpoint(args.resume)
+        print(f"Resumed from {args.resume} at step {start_step}")
+
+    num_iterations = (
+        args.iterations if args.iterations is not None else config.training.n_iterations
+    )
+
+    print("#" * 80)
+    print("------------------------------- Training loop ---------------------------------")
+    print("#" * 80)
+
+    for i in range(start_step, num_iterations):
+        step_start = time.time()
+        trainer.step(i)
+        duration = time.time() - step_start
+        print(f"Finished step: {i + 1}/{num_iterations} --> Step duration: {duration} sec")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Multi-chip ray-sharded rendering.
+
+Replaces the reference's only "parallelism" — sequential Python chunk loops
+(reference utils/batch_utils.py:7-39) — with `shard_map` over a device mesh:
+the flat ray axis splits across devices (zero cross-chip data dependencies;
+the structural analog of sequence parallelism per SURVEY.md §5), each device
+runs the same jitted coarse+fine pipeline on its shard, and the output frame
+is gathered when materialized. Parameters are fully replicated (the whole
+model is ~4 MB).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from nerf_workspaces_explorer_tpu.models.mlp import NerfMLPSpec
+from nerf_workspaces_explorer_tpu.rays.raygen import RayBundle
+from nerf_workspaces_explorer_tpu.render.pipeline import (
+    RenderSettings,
+    render_ray_bundle,
+    render_rays_chunked,
+)
+
+
+def shard_render(
+    params: Dict[str, Any],
+    rays: RayBundle,
+    settings: RenderSettings,
+    mesh: Mesh,
+    *,
+    spec: Optional[NerfMLPSpec] = None,
+    chunk: int = 8192,
+    full_outputs: bool = False,
+    axis_name: Optional[str] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Render a flat RayBundle with rays sharded across the mesh.
+
+    Args:
+      rays: flat RayBundle [N]. Padded (edge mode) so each device gets an
+        equal static shard.
+      chunk: per-device tile size; shards smaller than one chunk render in a
+        single unchunked call.
+    Returns:
+      Output dict with leading dim N (same contract as render_rays_chunked).
+    """
+    if axis_name is None:
+        axis_name = mesh.axis_names[0]
+    n_devices = mesh.devices.size
+    n = rays.origins.shape[0]
+    shard = -(-n // n_devices)
+    padded = shard * n_devices
+
+    def pad(x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.pad(x, ((0, padded - n), (0, 0)), mode="edge")
+
+    rays_padded = RayBundle(*(pad(f) for f in rays))
+
+    def device_fn(params: Dict[str, Any], local_rays: RayBundle):
+        if shard <= chunk:
+            return render_ray_bundle(
+                params, local_rays, settings.for_eval(), spec=spec,
+                full_outputs=full_outputs,
+            )
+        return render_rays_chunked(
+            params, local_rays, settings, spec=spec, chunk=chunk,
+            full_outputs=full_outputs,
+        )
+
+    out = shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=P(axis_name),
+    )(params, rays_padded)
+    return {k: v[:n] for k, v in out.items()}

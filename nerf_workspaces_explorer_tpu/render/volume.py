@@ -33,11 +33,14 @@ class RenderOutputs(NamedTuple):
     feature: Optional[jnp.ndarray] = None  # [..., 128] when endpoint_feat
 
 
-def exclusive_cumprod(x: jnp.ndarray, *, use_logspace: bool = True) -> jnp.ndarray:
+def exclusive_cumprod(x: jnp.ndarray, *, use_logspace: bool = False) -> jnp.ndarray:
     """Exclusive cumulative product along the last axis: [1, x0, x0*x1, ...].
 
     Reference computes this via cat([ones, x]).cumprod()[..., :-1]
-    (model_utils.py:75-80). On TPU, log-space cumsum is a parallel scan.
+    (model_utils.py:75-80). `jnp.cumprod` already lowers to an O(log n)
+    associative scan on TPU. The log-space variant is kept for reference but
+    is NOT differentiation-safe: d log(x)/dx = 1/x explodes as
+    x = 1 - alpha + 1e-10 -> 1e-10 when density saturates, NaN-ing training.
     """
     if use_logspace:
         logx = jnp.log(x)

@@ -1,0 +1,92 @@
+"""Tests for dataset loading (Replica layout + synthetic scenes)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nerf_workspaces_explorer_tpu.data import ReplicaDataset, make_synthetic_scene
+from nerf_workspaces_explorer_tpu.utils.viz import depth2rgb
+
+
+def _write_png(path, array):
+    import imageio
+
+    imageio.imwrite(path, array)
+
+
+@pytest.fixture
+def fake_replica(tmp_path):
+    """A tiny on-disk dataset in the Replica layout
+    (reference nerf/datasets/replica_dataset.py:25-52)."""
+    rng = np.random.default_rng(0)
+    office = tmp_path / "office_test" / "Sequence_1"
+    (office / "rgb").mkdir(parents=True)
+    (office / "depth").mkdir(parents=True)
+    n_frames, h, w = 13, 8, 10  # 13 so the last test id (10+2) stays in range
+    poses = []
+    for i in range(n_frames):
+        rgb = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        depth = (rng.uniform(100, 5000, size=(h, w))).astype(np.uint16)
+        _write_png(str(office / "rgb" / f"rgb_{i}.png"), rgb)
+        _write_png(str(office / "depth" / f"depth_{i}.png"), depth)
+        pose = np.eye(4)
+        pose[0, 3] = i * 0.1
+        poses.append(pose.reshape(-1))
+    np.savetxt(str(office / "traj_w_c.txt"), np.stack(poses), delimiter=" ")
+    return str(tmp_path), n_frames, h, w
+
+
+def test_replica_split_ids(fake_replica):
+    root, n_frames, h, w = fake_replica
+    ds = ReplicaDataset("office_test", datasets_path=root)
+    # Every 5th frame trains; test ids are train+2 (replica_dataset.py:42-43).
+    assert len(ds.train) == len(range(0, n_frames, 5)) == 3
+    assert len(ds.test) == 3
+    np.testing.assert_allclose(ds.train.camera_pose[:, 0, 3], [0.0, 0.5, 1.0], atol=1e-6)
+    np.testing.assert_allclose(ds.test.camera_pose[:, 0, 3], [0.2, 0.7, 1.2], atol=1e-6)
+
+
+def test_replica_units_and_ranges(fake_replica):
+    root, _, h, w = fake_replica
+    ds = ReplicaDataset("office_test", datasets_path=root)
+    assert ds.train.rgb.shape == (3, h, w, 3)
+    assert ds.train.rgb.min() >= 0.0 and ds.train.rgb.max() <= 1.0
+    # Depth mm -> meters.
+    assert ds.train.depth.max() <= 5.0 + 1e-6
+    assert ds.train.depth.min() >= 0.1 - 1e-6
+
+
+def test_replica_resize(fake_replica):
+    root, _, h, w = fake_replica
+    ds = ReplicaDataset("office_test", datasets_path=root, image_height=4, image_width=6)
+    assert ds.train.rgb.shape == (3, 4, 6, 3)
+    assert ds.train.depth.shape == (3, 4, 6)
+
+
+def test_replica_reference_accessors(fake_replica):
+    root, *_ = fake_replica
+    ds = ReplicaDataset("office_test", datasets_path=root)
+    assert ds.train_dataset_len == 3
+    assert set(ds.train_dataset) == {"rgb", "depth", "camera_pose"}
+    assert "train" in str(ds)
+
+
+def test_synthetic_scene_generation():
+    train, test, scene = make_synthetic_scene(n_train=4, n_test=2, height=16, width=20)
+    assert train.rgb.shape == (4, 16, 20, 3)
+    assert test.rgb.shape == (2, 16, 20, 3)
+    assert train.camera_pose.shape == (4, 4, 4)
+    assert np.all(np.isfinite(train.rgb))
+    # The scene must have actual content (not all background).
+    assert train.rgb.std() > 0.01
+    # Poses are valid rotations with orbit-radius translations.
+    rot = train.camera_pose[0, :3, :3]
+    np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-5)
+
+
+def test_depth2rgb():
+    depth = np.linspace(0.1, 10.0, 64).reshape(8, 8)
+    rgb = depth2rgb(depth, min_value=0.1, max_value=10.0)
+    assert rgb.shape == (8, 8, 3) and rgb.dtype == np.uint8
+    assert not np.array_equal(rgb[0, 0], rgb[-1, -1])

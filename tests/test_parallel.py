@@ -1,0 +1,61 @@
+"""Tests for multi-chip sharding on the simulated 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_workspaces_explorer_tpu.models import NerfMLPSpec, init_nerf_params
+from nerf_workspaces_explorer_tpu.parallel import data_mesh, shard_render
+from nerf_workspaces_explorer_tpu.rays import create_rays
+from nerf_workspaces_explorer_tpu.render import RenderSettings, render_ray_bundle
+
+SPEC = NerfMLPSpec(depth=4, width=64, input_ch=39, input_ch_views=15)
+SETTINGS = RenderSettings(n_samples=8, n_importance=8, num_freqs_3d=6, num_freqs_2d=2)
+
+
+@pytest.fixture(scope="module")
+def params():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    return {"coarse": init_nerf_params(k1, SPEC), "fine": init_nerf_params(k2, SPEC)}
+
+
+def test_data_mesh_shapes():
+    mesh = data_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data",)
+    small = data_mesh(4)
+    assert small.devices.size == 4
+    with pytest.raises(ValueError):
+        data_mesh(100)
+
+
+def test_shard_render_matches_single_device(params):
+    rays = create_rays(jnp.eye(4)[None], 8, 16, 8.0, 8.0, 7.5, 3.5, 0.1, 6.0).reshape(128)
+    mesh = data_mesh()
+    sharded = shard_render(params, rays, SETTINGS, mesh, spec=SPEC, chunk=64)
+    single = render_ray_bundle(params, rays, SETTINGS.for_eval(), spec=SPEC, full_outputs=False)
+    np.testing.assert_allclose(
+        np.asarray(sharded["rgb_fine"]), np.asarray(single["rgb_fine"]), atol=1e-5
+    )
+
+
+def test_shard_render_non_divisible_ray_count(params):
+    # 100 rays over 8 devices forces edge padding.
+    rays = create_rays(jnp.eye(4)[None], 10, 10, 5.0, 5.0, 4.5, 4.5, 0.1, 6.0).reshape(100)
+    mesh = data_mesh()
+    out = shard_render(params, rays, SETTINGS, mesh, spec=SPEC, chunk=64)
+    assert out["rgb_fine"].shape == (100, 3)
+    single = render_ray_bundle(params, rays, SETTINGS.for_eval(), spec=SPEC, full_outputs=False)
+    np.testing.assert_allclose(
+        np.asarray(out["rgb_fine"]), np.asarray(single["rgb_fine"]), atol=1e-5
+    )
+
+
+def test_shard_render_under_jit(params):
+    rays = create_rays(jnp.eye(4)[None], 8, 16, 8.0, 8.0, 7.5, 3.5, 0.1, 6.0).reshape(128)
+    mesh = data_mesh()
+    fn = jax.jit(lambda p, r: shard_render(p, r, SETTINGS, mesh, spec=SPEC, chunk=64))
+    out = fn(params, rays)
+    assert out["rgb_fine"].shape == (128, 3)
+    assert np.all(np.isfinite(np.asarray(out["rgb_fine"])))

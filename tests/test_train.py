@@ -1,0 +1,194 @@
+"""Tests for the training stack: optimizer schedule, jitted step, trainer
+loop, checkpoint/resume, and end-to-end convergence on a synthetic scene."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from nerf_workspaces_explorer_tpu.core.config import (
+    FrameworkConfig,
+    LoggingConfig,
+    ModelConfig,
+    RenderingConfig,
+    TrainingConfig,
+)
+from nerf_workspaces_explorer_tpu.data import make_synthetic_scene
+from nerf_workspaces_explorer_tpu.models import NerfMLPSpec
+from nerf_workspaces_explorer_tpu.rays import create_rays
+from nerf_workspaces_explorer_tpu.render import RenderSettings
+from nerf_workspaces_explorer_tpu.train import (
+    Trainer,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from nerf_workspaces_explorer_tpu.train.step import sample_training_rays
+
+
+def small_config(**rendering_overrides) -> FrameworkConfig:
+    rendering = dict(
+        n_rays=256,
+        n_samples=16,
+        n_importance=16,
+        num_freqs_3d=6,
+        num_freqs_2d=2,
+        depth_range=(0.1, 6.0),
+        # raw_noise_std=1 (the reference default) is load-bearing: without it
+        # a negatively-initialized sigma head is ReLU-dead and the coarse
+        # net never receives gradient.
+        raw_noise_std=1.0,
+    )
+    rendering.update(rendering_overrides)
+    return FrameworkConfig(
+        training=TrainingConfig(learning_rate=5e-4),
+        model=ModelConfig(net_depth=4, net_width=64, chunk=4096),
+        rendering=RenderingConfig(**rendering),
+        logging=LoggingConfig(
+            step_log_print=0,
+            step_log_tensorboard=50,
+            step_save_ckpt=0,
+            step_render_test=0,
+            step_render_train=0,
+        ),
+    )
+
+
+def test_lr_schedule_matches_reference_decay():
+    # Reference: lr * 0.1^(step/50000), continuous (…training_handler.py:312-315).
+    opt = make_optimizer(5e-4, 0.1, 50_000.0)
+    schedule = optax.exponential_decay(5e-4, 50_000.0, 0.1, staircase=False)
+    for step in [0, 1, 1000, 50_000, 125_000]:
+        expected = 5e-4 * 0.1 ** (step / 50_000.0)
+        assert float(schedule(step)) == pytest.approx(expected, rel=1e-6)
+
+
+def test_sample_training_rays_shapes():
+    poses = jnp.stack([jnp.eye(4)] * 4)
+    rays = create_rays(poses, 6, 8, 4.0, 4.0, 3.5, 2.5, 0.1, 6.0)
+    rgbs = jax.random.uniform(jax.random.PRNGKey(0), (4, 48, 3))
+    sampled, gt = sample_training_rays(jax.random.PRNGKey(1), rays, rgbs, 32)
+    assert sampled.origins.shape == (32, 3)
+    assert gt.shape == (32, 3)
+    # Same image for all rays: all origins identical for identity poses.
+    np.testing.assert_allclose(np.asarray(sampled.origins), 0.0)
+
+
+def test_train_step_reduces_loss_overfit_single_image():
+    # 200 steps on one tiny image must cut the loss substantially; sigma noise
+    # at the reference's std=1 keeps the density head alive at init.
+    spec = NerfMLPSpec(depth=4, width=64, input_ch=39, input_ch_views=15)
+    settings = RenderSettings(
+        n_samples=16, n_importance=16, num_freqs_3d=6, num_freqs_2d=2,
+        raw_noise_std=1.0,
+    )
+    opt = make_optimizer(1e-3, 0.1, 50_000.0)
+    state = init_train_state(jax.random.PRNGKey(0), spec, opt)
+
+    train, _, _ = make_synthetic_scene(n_train=1, n_test=1, height=16, width=16)
+    rays = create_rays(
+        jnp.asarray(train.camera_pose), 16, 16, 8.0, 8.0, 7.5, 7.5, 0.1, 6.0
+    )
+    rgbs = jnp.asarray(train.rgb.reshape(1, -1, 3))
+
+    step = make_train_step(settings, spec, opt, n_rays=128)
+    key = jax.random.PRNGKey(42)
+    first_loss = None
+    for i in range(200):
+        state, metrics = step(state, rays, rgbs, key)
+        if first_loss is None:
+            first_loss = float(metrics["total_loss"])
+    final_loss = float(metrics["total_loss"])
+    assert final_loss < 0.2 * first_loss, (first_loss, final_loss)
+    assert float(metrics["psnr_coarse"]) > 15.0
+    assert float(metrics["psnr_fine"]) > 15.0
+
+
+def test_sharded_step_matches_metrics_structure():
+    from jax.sharding import Mesh
+
+    spec = NerfMLPSpec(depth=2, width=32)
+    settings = RenderSettings(n_samples=8, n_importance=8, raw_noise_std=0.0)
+    opt = make_optimizer()
+    state = init_train_state(jax.random.PRNGKey(0), spec, opt)
+    poses = jnp.stack([jnp.eye(4)] * 2)
+    rays = create_rays(poses, 8, 8, 4.0, 4.0, 3.5, 3.5, 0.1, 6.0)
+    rgbs = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 3))
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+    step = make_train_step(settings, spec, opt, n_rays=64, mesh=mesh)
+    new_state, metrics = step(state, rays, rgbs, jax.random.PRNGKey(2))
+    assert int(new_state.step) == 1
+    assert metrics["total_loss"].ndim == 0
+    assert metrics["trans_fine"].shape[0] == 64  # gathered across devices
+    # Params stay replicated and finite.
+    for leaf in jax.tree.leaves(new_state.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_sharded_n_rays_divisibility():
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+    with pytest.raises(ValueError):
+        make_train_step(
+            RenderSettings(), NerfMLPSpec(), make_optimizer(), n_rays=100, mesh=mesh
+        )
+
+
+@pytest.fixture(scope="module")
+def synthetic_trainer(tmp_path_factory):
+    cfg = small_config()
+    train, test, _ = make_synthetic_scene(n_train=3, n_test=1, height=16, width=16)
+    trainer = Trainer(
+        "office_synthetic",
+        cfg,
+        train_data=train,
+        test_data=test,
+        save_dir=str(tmp_path_factory.mktemp("run")),
+        enable_tensorboard=True,
+        seed=0,
+    )
+    trainer.setup()
+    return trainer
+
+
+def test_trainer_steps_and_metrics(synthetic_trainer):
+    trainer = synthetic_trainer
+    m0 = trainer.step(0)
+    assert int(trainer.state.step) == 1
+    losses = [float(m0["total_loss"])]
+    for i in range(1, 30):
+        losses.append(float(trainer.step(i)["total_loss"]))
+    assert np.isfinite(losses).all()
+
+
+def test_trainer_eval_render_and_psnr(synthetic_trainer):
+    trainer = synthetic_trainer
+    psnr = trainer.render_test_images(global_step=30)
+    assert np.isfinite(psnr)
+    render_dir = os.path.join(trainer.save_dir, "test_render", "step_000030")
+    assert os.path.isdir(render_dir)
+    assert any(name.endswith(".png") for name in os.listdir(render_dir))
+
+
+def test_trainer_checkpoint_resume(synthetic_trainer):
+    trainer = synthetic_trainer
+    path = trainer.save_models_checkpoint(global_step=int(trainer.state.step))
+    saved_step = int(trainer.state.step)
+    params_before = jax.tree.map(np.asarray, trainer.params)
+
+    # Step forward, then resume back.
+    trainer.step(saved_step)
+    assert int(trainer.state.step) == saved_step + 1
+    restored_step = trainer.resume_from_checkpoint(path)
+    assert restored_step == saved_step
+    assert int(trainer.state.step) == saved_step
+    for a, b in zip(jax.tree.leaves(params_before), jax.tree.leaves(trainer.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # Training continues after resume.
+    trainer.step(saved_step)
+    assert int(trainer.state.step) == saved_step + 1
