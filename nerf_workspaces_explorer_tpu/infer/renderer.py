@@ -163,9 +163,9 @@ class NeRFRenderer:
                 rays = create_rays(
                     c2w[None], h, w, cfg.fx, cfg.fy, cfg.cx, cfg.cy, near, far
                 ).reshape(h * w)
-                if self._precision == "fast":
-                    rays = jax.tree.map(lambda x: x.astype(jnp.bfloat16), rays)
                 if use_pallas:
+                    # The fused kernel manages its own precision: fp32 ray
+                    # math and encoding phases, bf16 MXU matmuls.
                     from nerf_workspaces_explorer_tpu.ops.pallas_render import (
                         render_rays_fused,
                     )
@@ -176,10 +176,14 @@ class NeRFRenderer:
                         shard_render,
                     )
 
+                    if self._precision == "fast":
+                        rays = jax.tree.map(lambda x: x.astype(jnp.bfloat16), rays)
                     rgb = shard_render(
                         params, rays, settings, mesh, spec=spec, chunk=chunk
                     )["rgb_fine"]
                 else:
+                    if self._precision == "fast":
+                        rays = jax.tree.map(lambda x: x.astype(jnp.bfloat16), rays)
                     rgb = render_rays_chunked(
                         params, rays, settings, spec=spec, chunk=chunk
                     )["rgb_fine"]

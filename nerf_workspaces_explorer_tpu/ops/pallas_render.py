@@ -1,0 +1,569 @@
+"""Fused Pallas TPU render kernel: encoding + MLP + volume compositing.
+
+This replaces the reference's entire hot loop — `run_network`'s embed +
+chunked MLP apply plus `raw2outputs` compositing (reference
+nerf/models/model_utils.py:13-100 driven by utils/batch_utils.py:7-39) —
+with one Pallas kernel per hierarchical pass.
+
+Layout: everything is TRANSPOSED — features on sublanes, rays on lanes
+([C, N] instead of [N, C]). TPU tiles rank-2 arrays as (8, 128); a
+[N, 3] points array would pad its lane dim 3 -> 128 (42x HBM blowup — at
+640x480 that alone OOMs the chip), while [C, N] keeps every array exactly
+dense: C is always a multiple of 8 (64/256/384/128) and N a multiple of 128.
+
+Ray-major structure: the grid runs over ray tiles; inside the kernel a
+`fori_loop` walks the samples of each ray in depth order and composites
+on the fly (running transmittance), so:
+  - per-sample positional encoding is ONE fused-multiply-add
+    `phases = o_ph + z_s * d_ph` on [64, R] — the frequency scaling lives in
+    precomputed per-ray phase vectors (o/10 * 2^k etc.), not a per-sample
+    matmul;
+  - cos columns are sin columns with a +pi/2 phase bias folded into o_ph, so
+    the entire encoding costs ONE jnp.sin per sample step;
+  - the view-direction encoding is computed once per ray (the reference
+    re-embeds the same direction for all 192 samples of a ray,
+    model_utils.py:23-26);
+  - raw rgba never touches HBM: alpha-compositing happens in-registers and
+    only [8, R] maps (rgb/depth/acc) are written; the coarse pass writes the
+    per-sample weights needed by the importance sampler.
+
+The MLP matmuls are bf16 with fp32 accumulation (the reference's CUDA path
+is fp32; bf16+fp32-accum keeps per-pixel error below 1/255 — see tests).
+The skip concat (reference nerf_model.py:58-59) and the view concat
+(nerf_model.py:66) are folded into sums of two matmuls; the alpha and
+feature heads fuse into one [384, 256] matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nerf_workspaces_explorer_tpu.models.mlp import NerfMLPSpec
+from nerf_workspaces_explorer_tpu.rays.raygen import RayBundle
+from nerf_workspaces_explorer_tpu.rays.sampling import (
+    coarse_z_vals,
+    merge_sorted_z,
+    sample_pdf,
+)
+from nerf_workspaces_explorer_tpu.render.pipeline import RenderSettings
+
+# Kernel encoding feature layout (sublane rows of the feature matrix):
+# [identity(3) | sin(F*3) | cos(F*3) | zero-pad]. Cos rows are produced by
+# the same jnp.sin thanks to a +pi/2 bias folded into the phase offsets.
+PTS_FREQS = 10
+PTS_ENC_DIM = 64  # 3 + 30 + 30 + 1 pad
+VIEW_FREQS = 4
+VIEW_ENC_DIM = 32  # 3 + 12 + 12 + 5 pad
+
+DEFAULT_RAY_TILE = 2048
+
+
+def _phase_scales(num_freqs: int, enc_dim: int, scalar_factor: float) -> np.ndarray:
+    """[3, enc_dim] per-coordinate scale: row c spreads coord c to its
+    identity/sin/cos feature rows."""
+    f = np.zeros((3, enc_dim), dtype=np.float32)
+    for c in range(3):
+        f[c, c] = 1.0 / scalar_factor
+    for k in range(num_freqs):
+        for c in range(3):
+            f[c, 3 + 3 * k + c] = (2.0**k) / scalar_factor
+            f[c, 3 + 3 * num_freqs + 3 * k + c] = (2.0**k) / scalar_factor
+    return f
+
+
+def _cos_bias(num_freqs: int, enc_dim: int) -> np.ndarray:
+    """[enc_dim] +pi/2 on the cos rows (sin(x + pi/2) = cos(x))."""
+    b = np.zeros((enc_dim,), dtype=np.float32)
+    b[3 + 3 * num_freqs : 3 + 6 * num_freqs] = np.pi / 2.0
+    return b
+
+
+def _encoding_permutation(num_freqs: int, enc_dim: int) -> np.ndarray:
+    """kernel_row -> reference_row map (-1 = zero pad).
+
+    Reference encoding order (reference nerf/models/embedding.py:24-38):
+    [x,y,z, sin(f0)xyz, cos(f0)xyz, sin(f1)xyz, ...]. Kernel order groups
+    all sin rows then all cos rows.
+    """
+    perm = np.full((enc_dim,), -1, dtype=np.int64)
+    perm[0:3] = [0, 1, 2]
+    for k in range(num_freqs):
+        for c in range(3):
+            perm[3 + 3 * k + c] = 3 + 6 * k + c
+            perm[3 + 3 * num_freqs + 3 * k + c] = 6 + 6 * k + c
+    return perm
+
+
+def _permute_pad_in_rows(w: jnp.ndarray, perm: np.ndarray) -> jnp.ndarray:
+    """Reorder input-side rows of a [in, out] weight to kernel feature order."""
+    gather = np.maximum(perm, 0)
+    out = w[gather]
+    mask = (perm >= 0).astype(w.dtype)[:, None]
+    return out * mask
+
+
+class KernelParams(NamedTuple):
+    """Weights in transposed kernel layout [out, in], bf16."""
+
+    w_layers: tuple  # depth x [256, in]
+    w_skip_enc: tuple  # per skip layer [256, 64]
+    b_layers: tuple  # depth x [256, 1] fp32
+    w_fa: jnp.ndarray  # [384, 256]: rows 0-255 feature, row 256 alpha
+    b_fa: jnp.ndarray  # [384, 1]
+    w_view_h: jnp.ndarray  # [128, 256]
+    w_view_enc: jnp.ndarray  # [128, 32]
+    b_view: jnp.ndarray  # [128, 1]
+    w_rgb: jnp.ndarray  # [8, 128] rows 0-2 live
+    b_rgb: jnp.ndarray  # [8, 1]
+    skips: tuple
+
+
+def prepare_kernel_params(
+    params: Dict[str, Any], spec: Optional[NerfMLPSpec] = None, dtype=jnp.bfloat16
+) -> KernelParams:
+    """Convert one model's [in, out] param pytree to kernel layout."""
+    if spec is None:
+        spec = NerfMLPSpec()
+    assert spec.use_view_dirs, "the fused kernel implements the view-dirs model"
+    pts_perm = _encoding_permutation(PTS_FREQS, PTS_ENC_DIM)
+    view_perm = _encoding_permutation(VIEW_FREQS, VIEW_ENC_DIM)
+    width = spec.width
+
+    w_layers, w_skip_enc, b_layers = [], [], []
+    for i, layer in enumerate(params["pts"]):
+        w = layer["w"].astype(jnp.float32)  # [in, out]
+        b = layer["b"].astype(jnp.float32)[:, None]  # [out, 1]
+        if i == 0:
+            w_layers.append(_permute_pad_in_rows(w, pts_perm).T)
+        elif (i - 1) in spec.skips:
+            # Concat order [input_pts, h] (reference nerf_model.py:59).
+            w_skip_enc.append(_permute_pad_in_rows(w[: spec.input_ch], pts_perm).T)
+            w_layers.append(w[spec.input_ch :].T)
+        else:
+            w_layers.append(w.T)
+        b_layers.append(b)
+
+    w_fa = jnp.zeros((384, width), dtype=jnp.float32)
+    w_fa = (
+        w_fa.at[:width].set(params["feature"]["w"].astype(jnp.float32).T)
+        .at[width : width + 1]
+        .set(params["alpha"]["w"].astype(jnp.float32).T)
+    )
+    b_fa = jnp.zeros((384, 1), dtype=jnp.float32)
+    b_fa = (
+        b_fa.at[:width, 0]
+        .set(params["feature"]["b"].astype(jnp.float32))
+        .at[width, 0]
+        .set(params["alpha"]["b"].astype(jnp.float32)[0])
+    )
+
+    w_view = params["views"][0]["w"].astype(jnp.float32)  # [256+27, 128]
+    w_view_h = w_view[:width].T
+    w_view_enc = _permute_pad_in_rows(w_view[width:], view_perm).T
+    b_view = params["views"][0]["b"].astype(jnp.float32)[:, None]
+
+    w_rgb = jnp.zeros((8, width // 2), dtype=jnp.float32)
+    w_rgb = w_rgb.at[:3].set(params["rgb"]["w"].astype(jnp.float32).T)
+    b_rgb = jnp.zeros((8, 1), dtype=jnp.float32)
+    b_rgb = b_rgb.at[:3, 0].set(params["rgb"]["b"].astype(jnp.float32))
+
+    cast = lambda x: x.astype(dtype)
+    return KernelParams(
+        w_layers=tuple(cast(w) for w in w_layers),
+        w_skip_enc=tuple(cast(w) for w in w_skip_enc),
+        b_layers=tuple(b_layers),
+        w_fa=cast(w_fa),
+        b_fa=b_fa,
+        w_view_h=cast(w_view_h),
+        w_view_enc=cast(w_view_enc),
+        b_view=b_view,
+        w_rgb=cast(w_rgb),
+        b_rgb=b_rgb,
+        skips=tuple(spec.skips),
+    )
+
+
+def ray_phase_vectors(
+    origins: jnp.ndarray, dirs: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-ray phase offset/slope so that the sample-s encoding phases are
+    `o_ph + z * d_ph` (with the cos pi/2 bias folded into o_ph).
+
+    Args:
+      origins, dirs: [R, 3] fp32.
+    Returns:
+      (o_ph, d_ph): [PTS_ENC_DIM, R] fp32 each.
+    """
+    scales = jnp.asarray(_phase_scales(PTS_FREQS, PTS_ENC_DIM, 10.0))  # [3, 64]
+    bias = jnp.asarray(_cos_bias(PTS_FREQS, PTS_ENC_DIM))  # [64]
+    o_ph = origins @ scales + bias  # [R, 64]
+    d_ph = dirs @ scales
+    return o_ph.T, d_ph.T
+
+
+def encode_viewdirs_kernel_order(viewdirs: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Per-ray view encoding in kernel row order -> [VIEW_ENC_DIM, R]."""
+    scales = jnp.asarray(_phase_scales(VIEW_FREQS, VIEW_ENC_DIM, 1.0))
+    bias = jnp.asarray(_cos_bias(VIEW_FREQS, VIEW_ENC_DIM))
+    phases = viewdirs @ scales + bias  # [R, 32]
+    row = jnp.arange(VIEW_ENC_DIM)
+    live = 3 + 6 * VIEW_FREQS
+    feat = jnp.where(
+        row < 3, phases, jnp.where(row < live, jnp.sin(phases), 0.0)
+    )
+    return feat.T.astype(dtype)
+
+
+def _encode_step(o_ph, d_ph, z_row, compute_dtype):
+    """One sample step's [64, R] features from per-ray phase vectors."""
+    phases = o_ph + z_row * d_ph  # [64, R] fp32 FMA
+    row = jax.lax.broadcasted_iota(jnp.int32, phases.shape, 0)
+    live = 3 + 6 * PTS_FREQS
+    feat = jnp.where(row < 3, phases, jnp.where(row < live, jnp.sin(phases), 0.0))
+    return feat.astype(compute_dtype)
+
+
+def _trunk(feat, w_layers, w_skip_enc, b_layers, skips, compute_dtype):
+    """Density trunk: [64, R] features -> [256, R] activations."""
+    h = None
+    skip_i = 0
+    for i, w in enumerate(w_layers):
+        if i == 0:
+            acc = jnp.dot(w, feat, preferred_element_type=jnp.float32)
+        elif (i - 1) in skips:
+            acc = jnp.dot(w, h, preferred_element_type=jnp.float32) + jnp.dot(
+                w_skip_enc[skip_i], feat, preferred_element_type=jnp.float32
+            )
+            skip_i += 1
+        else:
+            acc = jnp.dot(w, h, preferred_element_type=jnp.float32)
+        h = jax.nn.relu(acc + b_layers[i]).astype(compute_dtype)
+    return h
+
+
+def _render_kernel(
+    o_ph_ref,
+    d_ph_ref,
+    zd_ref,
+    venc_ref,
+    *refs,
+    n_layers: int,
+    n_skips: int,
+    skips: tuple,
+    n_samples: int,
+    density_only: bool,
+    compute_dtype,
+):
+    """One (ray tile, sample) grid step: evaluate the field at one depth
+    slice of a ray tile and fold it into the running composite.
+
+    The sample axis is the LAST grid dimension, so for each ray tile the
+    samples run front-to-back sequentially on-core; the composite state
+    (transmittance + accumulated rgb/depth/acc) lives in a VMEM scratch that
+    persists across grid steps. The body is straight-line code — no in-kernel
+    loop, no dynamic slicing — so Mosaic pipelines the tiny per-step z/dist
+    DMAs against compute and the program compiles once.
+
+    Outputs (transposed):
+      density_only: weights [S, R] (the reference's raw2outputs weights,
+        model_utils.py:71-76) — one [1, R] row per grid step.
+      full: maps [8, R]: rows 0-2 rgb, 3 depth, 4 acc — written on the last
+        sample step.
+    """
+    idx = 0
+    w_layers = [refs[idx + i][:] for i in range(n_layers)]
+    idx += n_layers
+    w_skip_enc = [refs[idx + i][:] for i in range(n_skips)]
+    idx += n_skips
+    b_layers = [refs[idx + i][:] for i in range(n_layers)]
+    idx += n_layers
+    if density_only:
+        w_alpha, b_alpha = refs[idx][:], refs[idx + 1][:]
+        idx += 2
+    else:
+        w_fa, b_fa = refs[idx][:], refs[idx + 1][:]
+        w_view_h, w_view_enc, b_view = refs[idx + 2][:], refs[idx + 3][:], refs[idx + 4][:]
+        w_rgb, b_rgb = refs[idx + 5][:], refs[idx + 6][:]
+        idx += 7
+    out_ref = refs[idx]
+    acc_ref = refs[idx + 1]  # [8, R] fp32 scratch: 0-2 rgb, 3 depth, 4 acc, 5 trans
+    hv_enc_ref = refs[idx + 2] if not density_only else None  # [128, R] fp32
+
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        acc_ref[5:6, :] = jnp.ones_like(acc_ref[5:6, :])
+        if not density_only:
+            # View encoding contribution is per-ray: compute once per tile.
+            venc = venc_ref[:].astype(compute_dtype)
+            hv_enc_ref[:] = jnp.dot(
+                w_view_enc, venc, preferred_element_type=jnp.float32
+            )
+
+    # zd block is [1, 8, R]: sublane 0 = z, 1 = dist (DMA'd per sample step,
+    # pipelined by Pallas against the previous step's compute).
+    zd = zd_ref[0]  # [8, R]
+    z_row = zd[0:1, :]  # [1, R]
+    dist_row = zd[1:2, :]
+    feat = _encode_step(o_ph_ref[:], d_ph_ref[:], z_row, compute_dtype)
+    h = _trunk(feat, w_layers, w_skip_enc, b_layers, skips, compute_dtype)
+    trans = acc_ref[5:6, :]
+
+    if density_only:
+        sigma = jnp.dot(w_alpha, h, preferred_element_type=jnp.float32) + b_alpha
+        alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma[:1]) * dist_row)
+        out_ref[0, 0:1, :] = alpha * trans  # [S, 8, R] output, sublane 0 live
+        acc_ref[5:6, :] = trans * (1.0 - alpha + 1e-10)
+        return
+
+    fa = jnp.dot(w_fa, h, preferred_element_type=jnp.float32) + b_fa  # [384, R]
+    feature = fa[:256].astype(compute_dtype)
+    sigma = fa[256:257]
+    hv = jax.nn.relu(
+        jnp.dot(w_view_h, feature, preferred_element_type=jnp.float32)
+        + hv_enc_ref[:]
+        + b_view
+    ).astype(compute_dtype)
+    rgb = jnp.dot(w_rgb, hv, preferred_element_type=jnp.float32) + b_rgb  # [8, R]
+    rgb = jax.nn.sigmoid(rgb[:3])
+
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dist_row)  # [1, R]
+    weight = alpha * trans
+    acc_ref[0:3, :] = acc_ref[0:3, :] + weight * rgb
+    acc_ref[3:4, :] = acc_ref[3:4, :] + weight * z_row
+    acc_ref[4:5, :] = acc_ref[4:5, :] + weight
+    acc_ref[5:6, :] = trans * (1.0 - alpha + 1e-10)
+
+    @pl.when(s == n_samples - 1)
+    def _finish():
+        out_ref[:] = acc_ref[:]
+
+
+def _pad_rays_axis(x: jnp.ndarray, padded: int) -> jnp.ndarray:
+    n = x.shape[-1]
+    if padded == n:
+        return x
+    return jnp.pad(x, ((0, 0), (0, padded - n)))
+
+
+def nerf_render_pallas(
+    kparams: KernelParams,
+    o_ph: jnp.ndarray,
+    d_ph: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    dists: jnp.ndarray,
+    venc: Optional[jnp.ndarray] = None,
+    *,
+    density_only: bool = False,
+    ray_tile: int = DEFAULT_RAY_TILE,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the fused render kernel over a flat set of rays.
+
+    All arrays are transposed (rays on the last axis):
+      o_ph, d_ph: [64, R] fp32 per-ray phase vectors (`ray_phase_vectors`).
+      z_vals, dists: [S, R] fp32 sorted sample depths / |d|-scaled interval
+        lengths (last interval 1e10 * |d|, reference model_utils.py:51-60).
+      venc: [32, R] view encodings (required unless density_only).
+    Returns:
+      density_only: weights [S, R] fp32; else maps [8, R] fp32
+      (rgb rows 0-2, depth row 3, acc row 4).
+    """
+    n_rays = o_ph.shape[-1]
+    n_samples = z_vals.shape[0]
+    n_tiles = -(-n_rays // ray_tile)
+    padded = n_tiles * ray_tile
+
+    o_ph = _pad_rays_axis(o_ph, padded)
+    d_ph = _pad_rays_axis(d_ph, padded)
+    # [S, 8, R]: per-sample z/dist rows (8 sublanes for valid TPU tiling).
+    zd = jnp.stack(
+        [
+            _pad_rays_axis(z_vals, padded),
+            _pad_rays_axis(dists, padded),
+        ]
+        + [jnp.zeros((n_samples, padded), jnp.float32)] * 6,
+        axis=1,
+    )
+    if venc is None:
+        venc = jnp.zeros((VIEW_ENC_DIM, padded), dtype=compute_dtype)
+    else:
+        venc = _pad_rays_axis(venc, padded)
+
+    n_layers = len(kparams.w_layers)
+    n_skips = len(kparams.w_skip_enc)
+
+    weights = list(kparams.w_layers) + list(kparams.w_skip_enc) + list(kparams.b_layers)
+    scratch = [pltpu.VMEM((8, ray_tile), jnp.float32)]  # composite accumulators
+    if density_only:
+        # Alpha head only: [8, 256] (row 0 live) from the fused fa weights.
+        w_alpha = kparams.w_fa[256:264]
+        b_alpha = kparams.b_fa[256:264]
+        weights += [w_alpha, b_alpha]
+        out_shape = jax.ShapeDtypeStruct((n_samples, 8, padded), jnp.float32)
+        # One [1, 8, tile] weights slab per sample step (sublane 0 live).
+        out_spec = pl.BlockSpec(
+            (1, 8, ray_tile), lambda i, s: (s, 0, i), memory_space=pltpu.VMEM
+        )
+    else:
+        weights += [
+            kparams.w_fa,
+            kparams.b_fa,
+            kparams.w_view_h,
+            kparams.w_view_enc,
+            kparams.b_view,
+            kparams.w_rgb,
+            kparams.b_rgb,
+        ]
+        out_shape = jax.ShapeDtypeStruct((8, padded), jnp.float32)
+        out_spec = pl.BlockSpec(
+            (8, ray_tile), lambda i, s: (0, i), memory_space=pltpu.VMEM
+        )
+        scratch.append(pltpu.VMEM((128, ray_tile), jnp.float32))  # hv_enc
+
+    def per_ray_spec(rows):
+        return pl.BlockSpec(
+            (rows, ray_tile), lambda i, s: (0, i), memory_space=pltpu.VMEM
+        )
+
+    weight_specs = [
+        pl.BlockSpec(w.shape, lambda i, s: (0, 0), memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+
+    kernel = functools.partial(
+        _render_kernel,
+        n_layers=n_layers,
+        n_skips=n_skips,
+        skips=kparams.skips,
+        n_samples=n_samples,
+        density_only=density_only,
+        compute_dtype=compute_dtype,
+    )
+
+    def kernel_entry(*args):
+        kernel(*args)
+
+    out = pl.pallas_call(
+        kernel_entry,
+        # Sample axis LAST: for each ray tile, samples run sequentially
+        # front-to-back on-core; the scratch carries the composite.
+        grid=(n_tiles, n_samples),
+        in_specs=[
+            per_ray_spec(PTS_ENC_DIM),
+            per_ray_spec(PTS_ENC_DIM),
+            pl.BlockSpec(
+                (1, 8, ray_tile), lambda i, s: (s, 0, i), memory_space=pltpu.VMEM
+            ),  # per-sample z/dist slab
+            per_ray_spec(VIEW_ENC_DIM),
+        ]
+        + weight_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(o_ph, d_ph, zd, venc, *weights)
+    if density_only:
+        return out[:, 0, :n_rays]
+    return out[:, :n_rays]
+
+
+def _dists_from_z(z_vals_t: jnp.ndarray, dir_norm: jnp.ndarray) -> jnp.ndarray:
+    """[S, R] z values -> |d|-scaled interval lengths (last = 1e10)."""
+    d = z_vals_t[1:] - z_vals_t[:-1]
+    d = jnp.concatenate([d, jnp.full_like(d[:1], 1e10)], axis=0)
+    return d * dir_norm
+
+
+class FusedRenderOutputs(NamedTuple):
+    rgb: jnp.ndarray  # [R, 3]
+    depth: jnp.ndarray  # [R]
+    acc: jnp.ndarray  # [R]
+
+
+def render_rays_fused(
+    params: Dict[str, Any],
+    rays: RayBundle,
+    settings: RenderSettings,
+    *,
+    spec: Optional[NerfMLPSpec] = None,
+    ray_tile: int = DEFAULT_RAY_TILE,
+    interpret: bool = False,
+    full: bool = False,
+):
+    """Coarse+fine inference through the fused kernel.
+
+    Semantics match the reference inference path (deterministic importance
+    sampling, zero sigma noise — reference …inference_handler.py:225,238).
+    The coarse pass runs density-only: at inference its only consumer is the
+    importance sampler (rgb_coarse is computed but unused in the reference,
+    …inference_handler.py:256-268).
+
+    Returns rgb [R, 3] (or FusedRenderOutputs when full=True).
+    """
+    eval_settings = settings.for_eval()
+    kp_coarse = prepare_kernel_params(params["coarse"], spec)
+    kp_fine = prepare_kernel_params(params["fine"], spec)
+
+    origins = rays.origins.astype(jnp.float32)
+    dirs = rays.dirs.astype(jnp.float32)
+    viewdirs = rays.viewdirs.astype(jnp.float32)
+    near = rays.near.astype(jnp.float32)
+    far = rays.far.astype(jnp.float32)
+
+    o_ph, d_ph = ray_phase_vectors(origins, dirs)
+    venc = encode_viewdirs_kernel_order(viewdirs)
+    dir_norm = jnp.linalg.norm(dirs, axis=-1)[None, :]  # [1, R]
+
+    # Coarse: density-only -> per-sample weights.
+    z_coarse = coarse_z_vals(near, far, eval_settings.n_samples).T  # [S, R]
+    weights_t = nerf_render_pallas(
+        kp_coarse,
+        o_ph,
+        d_ph,
+        z_coarse,
+        _dists_from_z(z_coarse, dir_norm),
+        density_only=True,
+        ray_tile=ray_tile,
+        interpret=interpret,
+    )
+
+    # Importance sampling in XLA (tiny: [R, 63] weights).
+    weights = weights_t.T
+    z_c = z_coarse.T
+    z_mid = 0.5 * (z_c[..., 1:] + z_c[..., :-1])
+    z_samples = sample_pdf(
+        z_mid, weights[..., 1:-1], eval_settings.n_importance, deterministic=True
+    )
+    z_fine = merge_sorted_z(z_c, jax.lax.stop_gradient(z_samples)).T  # [S+I, R]
+
+    maps = nerf_render_pallas(
+        kp_fine,
+        o_ph,
+        d_ph,
+        z_fine,
+        _dists_from_z(z_fine, dir_norm),
+        venc,
+        ray_tile=ray_tile,
+        interpret=interpret,
+    )
+    rgb = maps[0:3].T
+    if eval_settings.white_background:
+        rgb = rgb + (1.0 - maps[4:5].T)
+    if full:
+        return FusedRenderOutputs(rgb=rgb, depth=maps[3], acc=maps[4])
+    return rgb

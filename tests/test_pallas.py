@@ -1,0 +1,135 @@
+"""Tests for the fused Pallas render kernel (interpret mode on CPU).
+
+The kernel's numerical contract: identical math to the jnp reference
+pipeline (render_ray_bundle with eval settings) up to bf16 weight rounding.
+On-TPU performance is covered by bench.py; these tests pin correctness.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_workspaces_explorer_tpu.models import NerfMLPSpec, init_nerf_params
+from nerf_workspaces_explorer_tpu.models.encoding import positional_encoding
+from nerf_workspaces_explorer_tpu.ops.pallas_render import (
+    VIEW_ENC_DIM,
+    _encoding_permutation,
+    encode_viewdirs_kernel_order,
+    prepare_kernel_params,
+    ray_phase_vectors,
+    render_rays_fused,
+)
+from nerf_workspaces_explorer_tpu.rays import create_rays
+from nerf_workspaces_explorer_tpu.render import RenderSettings, render_ray_bundle
+
+SPEC = NerfMLPSpec()
+
+
+@pytest.fixture(scope="module")
+def params():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(42))
+    p = {"coarse": init_nerf_params(k1, SPEC), "fine": init_nerf_params(k2, SPEC)}
+    for net in p.values():
+        net["alpha"]["b"] = net["alpha"]["b"] + 1.5  # visible density
+    return p
+
+
+def test_encoding_permutation_is_bijective():
+    perm = _encoding_permutation(10, 64)
+    live = perm[perm >= 0]
+    assert len(live) == 63 and len(set(live.tolist())) == 63
+    assert sorted(live.tolist()) == list(range(63))
+
+
+def test_ray_phase_vectors_reproduce_encoding():
+    """o_ph + z*d_ph must reproduce positional_encoding of o + z*d (via the
+    kernel's sin-with-bias evaluation), modulo the row permutation."""
+    rng = np.random.default_rng(0)
+    origins = jnp.asarray(rng.normal(size=(5, 3)), dtype=jnp.float32)
+    dirs = jnp.asarray(rng.normal(size=(5, 3)), dtype=jnp.float32)
+    z = jnp.asarray(rng.uniform(0.5, 5.0, size=(5,)), dtype=jnp.float32)
+
+    o_ph, d_ph = ray_phase_vectors(origins, dirs)
+    phases = o_ph + z[None, :] * d_ph  # [64, 5]
+    row = np.arange(64)[:, None]
+    feat_kernel = np.where(
+        row < 3,
+        np.asarray(phases),
+        np.where(row < 63, np.sin(np.asarray(phases)), 0.0),
+    )
+
+    pts = origins + z[:, None] * dirs
+    ref = np.asarray(positional_encoding(pts, 10, scalar_factor=10.0))  # [5, 63]
+    perm = _encoding_permutation(10, 64)
+    for kernel_row, ref_row in enumerate(perm):
+        if ref_row >= 0:
+            # fp32 re-association of (o + z d)/10 * 2^k vs o_ph + z d_ph
+            # costs a few 1e-5 at the highest frequencies.
+            np.testing.assert_allclose(
+                feat_kernel[kernel_row], ref[:, ref_row], atol=1e-4
+            )
+
+
+def test_viewdir_encoding_kernel_order():
+    rng = np.random.default_rng(1)
+    vd = rng.normal(size=(7, 3))
+    vd /= np.linalg.norm(vd, axis=-1, keepdims=True)
+    vd = jnp.asarray(vd, dtype=jnp.float32)
+    venc = np.asarray(encode_viewdirs_kernel_order(vd, dtype=jnp.float32))
+    assert venc.shape == (VIEW_ENC_DIM, 7)
+    ref = np.asarray(positional_encoding(vd, 4, scalar_factor=1.0))
+    perm = _encoding_permutation(4, VIEW_ENC_DIM)
+    for kernel_row, ref_row in enumerate(perm):
+        expected = ref[:, ref_row] if ref_row >= 0 else 0.0
+        np.testing.assert_allclose(venc[kernel_row], expected, atol=1e-5)
+
+
+def test_prepare_kernel_params_shapes(params):
+    kp = prepare_kernel_params(params["fine"], SPEC)
+    assert len(kp.w_layers) == 8
+    assert kp.w_layers[0].shape == (256, 64)
+    assert kp.w_layers[5].shape == (256, 256)  # h part of the skip layer
+    assert len(kp.w_skip_enc) == 1 and kp.w_skip_enc[0].shape == (256, 64)
+    assert kp.w_fa.shape == (384, 256)
+    assert kp.w_view_h.shape == (128, 256)
+    assert kp.w_view_enc.shape == (128, 32)
+    assert kp.w_rgb.shape == (8, 128)
+
+
+def test_fused_render_matches_reference_pipeline(params):
+    settings = RenderSettings(n_samples=16, n_importance=16)
+    rays = create_rays(jnp.eye(4)[None], 8, 16, 8.0, 8.0, 7.5, 3.5, 0.5, 4.0).reshape(128)
+    rgb_fused = np.asarray(
+        render_rays_fused(params, rays, settings, spec=SPEC, ray_tile=128, interpret=True)
+    )
+    ref = render_ray_bundle(
+        params, rays, settings.for_eval(), spec=SPEC, full_outputs=False
+    )
+    np.testing.assert_allclose(
+        rgb_fused, np.asarray(ref["rgb_fine"]), atol=5e-3
+    )  # bf16 weight rounding
+
+
+def test_fused_render_ray_padding(params):
+    # 100 rays with tile 64 forces zero-padding of the ray axis.
+    settings = RenderSettings(n_samples=8, n_importance=8)
+    rays = create_rays(jnp.eye(4)[None], 10, 10, 5.0, 5.0, 4.5, 4.5, 0.5, 4.0).reshape(100)
+    rgb = np.asarray(
+        render_rays_fused(params, rays, settings, spec=SPEC, ray_tile=64, interpret=True)
+    )
+    assert rgb.shape == (100, 3)
+    assert np.all(np.isfinite(rgb))
+    ref = render_ray_bundle(params, rays, settings.for_eval(), spec=SPEC, full_outputs=False)
+    np.testing.assert_allclose(rgb, np.asarray(ref["rgb_fine"]), atol=5e-3)
+
+
+def test_fused_render_full_outputs(params):
+    settings = RenderSettings(n_samples=8, n_importance=8)
+    rays = create_rays(jnp.eye(4)[None], 8, 16, 8.0, 8.0, 7.5, 3.5, 0.5, 4.0).reshape(128)
+    out = render_rays_fused(
+        params, rays, settings, spec=SPEC, ray_tile=128, interpret=True, full=True
+    )
+    ref = render_ray_bundle(params, rays, settings.for_eval(), spec=SPEC, full_outputs=True)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref["depth_fine"]), atol=5e-2)
+    np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref["acc_fine"]), atol=5e-3)
