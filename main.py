@@ -1,0 +1,59 @@
+"""Workspaces Explorer application entry point.
+
+Parity target: reference main.py:1-11 (QApplication + LandingPage). Backend
+selection: PyQt5 when installed (pixel-parity with the reference), tkinter
+otherwise. `--backend` forces one.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--backend", choices=("auto", "qt", "tk"), default="auto",
+        help="GUI toolkit (auto: PyQt5 if installed, else tkinter)",
+    )
+    parser.add_argument(
+        "--precision", choices=("parity", "fast"), default="fast",
+        help="render precision (fast = bf16 MXU path)",
+    )
+    parser.add_argument(
+        "--random-init", action="store_true",
+        help="run with random weights when no checkpoints exist (demo mode)",
+    )
+    args = parser.parse_args()
+
+    from nerf_workspaces_explorer_tpu.app.workspace import make_workspaces
+
+    workspaces = make_workspaces(precision=args.precision)
+    if args.random_init:
+        for workspace in workspaces:
+            original = workspace.initialize_models
+            workspace.initialize_models = (  # type: ignore[method-assign]
+                lambda o=original: o(allow_random_init=True)
+            )
+
+    backend = args.backend
+    if backend == "auto":
+        try:
+            import PyQt5  # noqa: F401
+
+            backend = "qt"
+        except ImportError:
+            backend = "tk"
+
+    if backend == "qt":
+        from nerf_workspaces_explorer_tpu.app import gui_qt
+
+        gui_qt.run(workspaces)
+    else:
+        from nerf_workspaces_explorer_tpu.app import gui_tk
+
+        gui_tk.run(workspaces)
+
+
+if __name__ == "__main__":
+    main()

@@ -188,6 +188,30 @@ def params_to_torch_state_dict(params: Params, *, underscore: bool = True) -> Di
     return out
 
 
+def save_torch_checkpoint(
+    path: str, coarse: Params, fine: Params, *, step: int = 0
+) -> None:
+    """Export a reference-format torch checkpoint so models trained with this
+    framework load in the reference application (format per reference
+    …training_handler.py:404-407)."""
+    import torch
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    torch.save(
+        {
+            "global_step": int(step),
+            "network_coarse_state_dict": {
+                k: torch.tensor(v) for k, v in params_to_torch_state_dict(coarse).items()
+            },
+            "network_fine_state_dict": {
+                k: torch.tensor(v) for k, v in params_to_torch_state_dict(fine).items()
+            },
+            "optimizer_state_dict": {},
+        },
+        path,
+    )
+
+
 def load_torch_checkpoint(path: str) -> Tuple[Params, Params, int]:
     """Load a reference-format torch checkpoint -> (coarse, fine, step).
 

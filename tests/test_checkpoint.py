@@ -87,3 +87,31 @@ def test_state_dict_shapes(params):
     assert sd["_rgb_linear.weight"].shape == (3, 16)
     restored = torch_state_dict_to_params(sd)
     _trees_equal(params["coarse"], restored)
+
+
+def test_torch_export_roundtrip(tmp_path, params):
+    torch = pytest.importorskip("torch")
+    from nerf_workspaces_explorer_tpu.infer.checkpoint import save_torch_checkpoint
+
+    path = str(tmp_path / "export.ckpt")
+    save_torch_checkpoint(path, params["coarse"], params["fine"], step=42)
+    coarse, fine, step = load_torch_checkpoint(path)
+    assert step == 42
+    _trees_equal(params["coarse"], coarse)
+    _trees_equal(params["fine"], fine)
+
+
+def test_convert_cli(tmp_path, params):
+    pytest.importorskip("torch")
+    from nerf_workspaces_explorer_tpu.cli.convert import main as convert_main
+    from nerf_workspaces_explorer_tpu.infer.checkpoint import save_torch_checkpoint
+
+    ckpt = str(tmp_path / "m.ckpt")
+    npz = str(tmp_path / "m.npz")
+    back = str(tmp_path / "m2.ckpt")
+    save_torch_checkpoint(ckpt, params["coarse"], params["fine"], step=7)
+    convert_main([ckpt, npz])
+    convert_main([npz, back])
+    coarse, fine, step = load_torch_checkpoint(back)
+    assert step == 7
+    _trees_equal(params["coarse"], coarse)
