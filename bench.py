@@ -37,8 +37,9 @@ def main() -> None:
     config = FrameworkConfig(
         experiment=ExperimentConfig(image_width=WIDTH, image_height=HEIGHT)
     )
+    use_pallas = jax.devices()[0].platform != "cpu"
     renderer = NeRFRenderer(
-        "office_tokyo", None, config=config, precision="fast"
+        "office_tokyo", None, config=config, precision="fast", use_pallas=use_pallas
     )
     # Random params with boosted density so the workload composites real
     # content (pretrained checkpoints are not in this environment).
@@ -50,7 +51,7 @@ def main() -> None:
     }
     for p in params.values():
         p["alpha"]["b"] = p["alpha"]["b"] + 2.0
-    renderer.set_params(jax.tree.map(lambda x: x.astype(jnp.bfloat16), params))
+    renderer.set_params(params)
 
     pose = poses_from_coordinates(
         COORD(x=1.0, y=-0.5, z=0.5, pitch=-90.0), [COORD(yaw=-30.0)]

@@ -403,12 +403,22 @@ def nerf_render_pallas(
     n_layers = len(kparams.w_layers)
     n_skips = len(kparams.w_skip_enc)
 
-    weights = list(kparams.w_layers) + list(kparams.w_skip_enc) + list(kparams.b_layers)
+    def wide(b):
+        # Biases live pre-broadcast as [C, ray_tile]: a [C, 1] operand would
+        # need a per-step lane-splat in the kernel (slow on TPU); a resident
+        # full-width block makes the bias add a plain VPU add.
+        return jnp.broadcast_to(b, (b.shape[0], ray_tile))
+
+    weights = (
+        list(kparams.w_layers)
+        + list(kparams.w_skip_enc)
+        + [wide(b) for b in kparams.b_layers]
+    )
     scratch = [pltpu.VMEM((8, ray_tile), jnp.float32)]  # composite accumulators
     if density_only:
         # Alpha head only: [8, 256] (row 0 live) from the fused fa weights.
         w_alpha = kparams.w_fa[256:264]
-        b_alpha = kparams.b_fa[256:264]
+        b_alpha = wide(kparams.b_fa[256:264])
         weights += [w_alpha, b_alpha]
         out_shape = jax.ShapeDtypeStruct((n_samples, 8, padded), jnp.float32)
         # One [1, 8, tile] weights slab per sample step (sublane 0 live).
@@ -418,12 +428,12 @@ def nerf_render_pallas(
     else:
         weights += [
             kparams.w_fa,
-            kparams.b_fa,
+            wide(kparams.b_fa),
             kparams.w_view_h,
             kparams.w_view_enc,
-            kparams.b_view,
+            wide(kparams.b_view),
             kparams.w_rgb,
-            kparams.b_rgb,
+            wide(kparams.b_rgb),
         ]
         out_shape = jax.ShapeDtypeStruct((8, padded), jnp.float32)
         out_spec = pl.BlockSpec(

@@ -86,20 +86,33 @@ def sample_pdf(
             raise ValueError("sample_pdf with deterministic=False requires a PRNG key")
         u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,), dtype=cdf.dtype)
 
-    # searchsorted(right) per ray. cdf is detached like the reference's
-    # cdf.detach() (rays.py:103).
-    cdf_sg = jax.lax.stop_gradient(cdf)
-    inds = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(
-        cdf_sg.reshape(-1, cdf.shape[-1]), u.reshape(-1, n_samples)
-    ).reshape(u.shape)
+    # CDF inversion WITHOUT searchsorted/gather: both are catastrophically
+    # slow on TPU (a vmapped searchsorted costs ~1s per 320x240 frame). The
+    # reference gathers cdf/bins at indices below = searchsorted(u)-1 and
+    # above = searchsorted(u) (rays.py:103-111). Because cdf rows are sorted
+    # and {cdf_b <= u} is always a prefix set, every one of those gathers is
+    # a masked max/min reduction over the broadcastd [.., Q, B] comparison —
+    # which XLA fuses into a few VPU passes with nothing materialized:
+    #   x[below] = max_b { x_b : cdf_b <= u }   (prefix max = value at end)
+    #   x[above] = min_b { x_b : cdf_b >  u }   (suffix min = value at start)
+    # with the reference's clamps (inds==B -> last element) realized by
+    # falling back to the last column when the suffix is empty.
+    cdf_sg = jax.lax.stop_gradient(cdf)  # reference detaches (rays.py:103)
+    le = cdf_sg[..., None, :] <= u[..., :, None]  # [..., Q, B]
+    neg = jnp.asarray(-jnp.inf, cdf.dtype)
+    pos = jnp.asarray(jnp.inf, cdf.dtype)
 
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    def prefix_take(x):
+        return jnp.max(jnp.where(le, x[..., None, :], neg), axis=-1)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
-    bins_above = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+    def suffix_take(x):
+        taken = jnp.min(jnp.where(le, pos, x[..., None, :]), axis=-1)
+        return jnp.where(jnp.isinf(taken), x[..., -1:], taken)
+
+    cdf_below = prefix_take(cdf)  # never empty: cdf[..., 0] == 0 <= u
+    cdf_above = suffix_take(cdf)
+    bins_below = prefix_take(bins)
+    bins_above = suffix_take(bins)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
