@@ -13,6 +13,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 AVAILABLE_OFFICES = ("tokyo", "new_york", "geneve", "belgrade")
@@ -32,6 +33,19 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--mesh", type=int, default=0, help="devices for data parallelism")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--save-dir", type=str, default=None)
+    parser.add_argument(
+        "--profile", type=str, default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the first 20 steps into DIR",
+    )
+    parser.add_argument(
+        "--export-final", action="store_true",
+        help="on completion, save final_models/<office>/model.npz (+ .ckpt when torch is available)",
+    )
+    parser.add_argument(
+        "--nan-debug", action="store_true",
+        help="raise on the first NaN inside jitted code (slow; the analog of "
+        "the reference's global anomaly detection)",
+    )
     return parser
 
 
@@ -44,8 +58,12 @@ def main(argv=None) -> None:
     office = f"office_{office_name}"
 
     from nerf_workspaces_explorer_tpu.core.config import load_config
+    from nerf_workspaces_explorer_tpu.obs import enable_nan_debugging, trace_context
     from nerf_workspaces_explorer_tpu.parallel import data_mesh
     from nerf_workspaces_explorer_tpu.train import Trainer
+
+    if args.nan_debug:
+        enable_nan_debugging()
 
     config = load_config(office_name=office)
     mesh = data_mesh(args.mesh) if args.mesh > 0 else None
@@ -83,11 +101,40 @@ def main(argv=None) -> None:
     print("------------------------------- Training loop ---------------------------------")
     print("#" * 80)
 
-    for i in range(start_step, num_iterations):
+    profile_until = start_step + 20 if args.profile else start_step - 1
+    with trace_context(args.profile if args.profile else None):
+        for i in range(start_step, min(profile_until + 1, num_iterations)):
+            trainer.step(i)
+    for i in range(max(start_step, profile_until + 1), num_iterations):
         step_start = time.time()
         trainer.step(i)
         duration = time.time() - step_start
         print(f"Finished step: {i + 1}/{num_iterations} --> Step duration: {duration} sec")
+
+    if args.export_final:
+        final_dir = os.path.join("final_models", office)
+        os.makedirs(final_dir, exist_ok=True)
+        from nerf_workspaces_explorer_tpu.infer.checkpoint import save_checkpoint
+
+        npz_path = os.path.join(final_dir, "model.npz")
+        save_checkpoint(
+            npz_path, trainer.params,
+            step=int(trainer.state.step), metadata={"office": office},
+        )
+        print(f"Exported final model to {npz_path}")
+        try:
+            from nerf_workspaces_explorer_tpu.infer.checkpoint import (
+                save_torch_checkpoint,
+            )
+
+            ckpt_path = os.path.join(final_dir, "model.ckpt")
+            save_torch_checkpoint(
+                ckpt_path, trainer.params["coarse"], trainer.params["fine"],
+                step=int(trainer.state.step),
+            )
+            print(f"Exported reference-format checkpoint to {ckpt_path}")
+        except ImportError:
+            pass
 
 
 if __name__ == "__main__":

@@ -57,12 +57,29 @@ from nerf_workspaces_explorer_tpu.render.pipeline import RenderSettings
 # Kernel encoding feature layout (sublane rows of the feature matrix):
 # [identity(3) | sin(F*3) | cos(F*3) | zero-pad]. Cos rows are produced by
 # the same jnp.sin thanks to a +pi/2 bias folded into the phase offsets.
+# Frequency counts derive from the model spec (input_ch = 3 + 6F); the
+# flagship office model is F=10 (pts, enc dim 63->64) and F=4 (views,
+# 27->32). Enc dims round up to a sublane multiple of 8.
 PTS_FREQS = 10
-PTS_ENC_DIM = 64  # 3 + 30 + 30 + 1 pad
+PTS_ENC_DIM = 64
 VIEW_FREQS = 4
-VIEW_ENC_DIM = 32  # 3 + 12 + 12 + 5 pad
+VIEW_ENC_DIM = 32
 
 DEFAULT_RAY_TILE = 2048
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _freqs_from_input_ch(input_ch: int) -> int:
+    """input_ch = 3 * (1 + 2F) (reference embedding.py:24-38)."""
+    assert (input_ch - 3) % 6 == 0, f"bad encoded input width {input_ch}"
+    return (input_ch - 3) // 6
+
+
+def _enc_dim(num_freqs: int) -> int:
+    return _round_up(3 + 6 * num_freqs, 8)
 
 
 def _phase_scales(num_freqs: int, enc_dim: int, scalar_factor: float) -> np.ndarray:
@@ -120,9 +137,12 @@ class KernelParams(NamedTuple):
     w_view_h: jnp.ndarray  # [128, 256]
     w_view_enc: jnp.ndarray  # [128, 32]
     b_view: jnp.ndarray  # [128, 1]
-    w_rgb: jnp.ndarray  # [8, 128] rows 0-2 live
+    w_rgb: jnp.ndarray  # [8, width//2] rows 0-2 live
     b_rgb: jnp.ndarray  # [8, 1]
     skips: tuple
+    width: int = 256
+    pts_freqs: int = PTS_FREQS
+    view_freqs: int = VIEW_FREQS
 
 
 def prepare_kernel_params(
@@ -132,9 +152,13 @@ def prepare_kernel_params(
     if spec is None:
         spec = NerfMLPSpec()
     assert spec.use_view_dirs, "the fused kernel implements the view-dirs model"
-    pts_perm = _encoding_permutation(PTS_FREQS, PTS_ENC_DIM)
-    view_perm = _encoding_permutation(VIEW_FREQS, VIEW_ENC_DIM)
+    assert spec.width % 16 == 0, "kernel needs width divisible by 16"
+    pts_freqs = _freqs_from_input_ch(spec.input_ch)
+    view_freqs = _freqs_from_input_ch(spec.input_ch_views)
+    pts_perm = _encoding_permutation(pts_freqs, _enc_dim(pts_freqs))
+    view_perm = _encoding_permutation(view_freqs, _enc_dim(view_freqs))
     width = spec.width
+    fa_rows = _round_up(width + 8, 128)
 
     w_layers, w_skip_enc, b_layers = [], [], []
     for i, layer in enumerate(params["pts"]):
@@ -150,13 +174,13 @@ def prepare_kernel_params(
             w_layers.append(w.T)
         b_layers.append(b)
 
-    w_fa = jnp.zeros((384, width), dtype=jnp.float32)
+    w_fa = jnp.zeros((fa_rows, width), dtype=jnp.float32)
     w_fa = (
         w_fa.at[:width].set(params["feature"]["w"].astype(jnp.float32).T)
         .at[width : width + 1]
         .set(params["alpha"]["w"].astype(jnp.float32).T)
     )
-    b_fa = jnp.zeros((384, 1), dtype=jnp.float32)
+    b_fa = jnp.zeros((fa_rows, 1), dtype=jnp.float32)
     b_fa = (
         b_fa.at[:width, 0]
         .set(params["feature"]["b"].astype(jnp.float32))
@@ -187,11 +211,14 @@ def prepare_kernel_params(
         w_rgb=cast(w_rgb),
         b_rgb=b_rgb,
         skips=tuple(spec.skips),
+        width=width,
+        pts_freqs=pts_freqs,
+        view_freqs=view_freqs,
     )
 
 
 def ray_phase_vectors(
-    origins: jnp.ndarray, dirs: jnp.ndarray
+    origins: jnp.ndarray, dirs: jnp.ndarray, num_freqs: int = PTS_FREQS
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-ray phase offset/slope so that the sample-s encoding phases are
     `o_ph + z * d_ph` (with the cos pi/2 bias folded into o_ph).
@@ -199,33 +226,37 @@ def ray_phase_vectors(
     Args:
       origins, dirs: [R, 3] fp32.
     Returns:
-      (o_ph, d_ph): [PTS_ENC_DIM, R] fp32 each.
+      (o_ph, d_ph): [enc_dim, R] fp32 each.
     """
-    scales = jnp.asarray(_phase_scales(PTS_FREQS, PTS_ENC_DIM, 10.0))  # [3, 64]
-    bias = jnp.asarray(_cos_bias(PTS_FREQS, PTS_ENC_DIM))  # [64]
-    o_ph = origins @ scales + bias  # [R, 64]
+    enc_dim = _enc_dim(num_freqs)
+    scales = jnp.asarray(_phase_scales(num_freqs, enc_dim, 10.0))
+    bias = jnp.asarray(_cos_bias(num_freqs, enc_dim))
+    o_ph = origins @ scales + bias
     d_ph = dirs @ scales
     return o_ph.T, d_ph.T
 
 
-def encode_viewdirs_kernel_order(viewdirs: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Per-ray view encoding in kernel row order -> [VIEW_ENC_DIM, R]."""
-    scales = jnp.asarray(_phase_scales(VIEW_FREQS, VIEW_ENC_DIM, 1.0))
-    bias = jnp.asarray(_cos_bias(VIEW_FREQS, VIEW_ENC_DIM))
-    phases = viewdirs @ scales + bias  # [R, 32]
-    row = jnp.arange(VIEW_ENC_DIM)
-    live = 3 + 6 * VIEW_FREQS
+def encode_viewdirs_kernel_order(
+    viewdirs: jnp.ndarray, dtype=jnp.bfloat16, num_freqs: int = VIEW_FREQS
+) -> jnp.ndarray:
+    """Per-ray view encoding in kernel row order -> [enc_dim, R]."""
+    enc_dim = _enc_dim(num_freqs)
+    scales = jnp.asarray(_phase_scales(num_freqs, enc_dim, 1.0))
+    bias = jnp.asarray(_cos_bias(num_freqs, enc_dim))
+    phases = viewdirs @ scales + bias
+    row = jnp.arange(enc_dim)
+    live = 3 + 6 * num_freqs
     feat = jnp.where(
         row < 3, phases, jnp.where(row < live, jnp.sin(phases), 0.0)
     )
     return feat.T.astype(dtype)
 
 
-def _encode_step(o_ph, d_ph, z_row, compute_dtype):
-    """One sample step's [64, R] features from per-ray phase vectors."""
-    phases = o_ph + z_row * d_ph  # [64, R] fp32 FMA
+def _encode_step(o_ph, d_ph, z_row, num_freqs, compute_dtype):
+    """One sample step's [enc_dim, R] features from per-ray phase vectors."""
+    phases = o_ph + z_row * d_ph  # fp32 FMA
     row = jax.lax.broadcasted_iota(jnp.int32, phases.shape, 0)
-    live = 3 + 6 * PTS_FREQS
+    live = 3 + 6 * num_freqs
     feat = jnp.where(row < 3, phases, jnp.where(row < live, jnp.sin(phases), 0.0))
     return feat.astype(compute_dtype)
 
@@ -259,6 +290,8 @@ def _render_kernel(
     skips: tuple,
     n_samples: int,
     density_only: bool,
+    pts_freqs: int,
+    width: int,
     compute_dtype,
 ):
     """One (ray tile, sample) grid step: evaluate the field at one depth
@@ -314,7 +347,7 @@ def _render_kernel(
     zd = zd_ref[0]  # [8, R]
     z_row = zd[0:1, :]  # [1, R]
     dist_row = zd[1:2, :]
-    feat = _encode_step(o_ph_ref[:], d_ph_ref[:], z_row, compute_dtype)
+    feat = _encode_step(o_ph_ref[:], d_ph_ref[:], z_row, pts_freqs, compute_dtype)
     h = _trunk(feat, w_layers, w_skip_enc, b_layers, skips, compute_dtype)
     trans = acc_ref[5:6, :]
 
@@ -325,9 +358,9 @@ def _render_kernel(
         acc_ref[5:6, :] = trans * (1.0 - alpha + 1e-10)
         return
 
-    fa = jnp.dot(w_fa, h, preferred_element_type=jnp.float32) + b_fa  # [384, R]
-    feature = fa[:256].astype(compute_dtype)
-    sigma = fa[256:257]
+    fa = jnp.dot(w_fa, h, preferred_element_type=jnp.float32) + b_fa
+    feature = fa[:width].astype(compute_dtype)
+    sigma = fa[width : width + 1]
     hv = jax.nn.relu(
         jnp.dot(w_view_h, feature, preferred_element_type=jnp.float32)
         + hv_enc_ref[:]
@@ -396,7 +429,7 @@ def nerf_render_pallas(
         axis=1,
     )
     if venc is None:
-        venc = jnp.zeros((VIEW_ENC_DIM, padded), dtype=compute_dtype)
+        venc = jnp.zeros((_enc_dim(kparams.view_freqs), padded), dtype=compute_dtype)
     else:
         venc = _pad_rays_axis(venc, padded)
 
@@ -415,10 +448,11 @@ def nerf_render_pallas(
         + [wide(b) for b in kparams.b_layers]
     )
     scratch = [pltpu.VMEM((8, ray_tile), jnp.float32)]  # composite accumulators
+    width = kparams.width
     if density_only:
-        # Alpha head only: [8, 256] (row 0 live) from the fused fa weights.
-        w_alpha = kparams.w_fa[256:264]
-        b_alpha = wide(kparams.b_fa[256:264])
+        # Alpha head only: [8, width] (row 0 live) from the fused fa weights.
+        w_alpha = kparams.w_fa[width : width + 8]
+        b_alpha = wide(kparams.b_fa[width : width + 8])
         weights += [w_alpha, b_alpha]
         out_shape = jax.ShapeDtypeStruct((n_samples, 8, padded), jnp.float32)
         # One [1, 8, tile] weights slab per sample step (sublane 0 live).
@@ -439,7 +473,7 @@ def nerf_render_pallas(
         out_spec = pl.BlockSpec(
             (8, ray_tile), lambda i, s: (0, i), memory_space=pltpu.VMEM
         )
-        scratch.append(pltpu.VMEM((128, ray_tile), jnp.float32))  # hv_enc
+        scratch.append(pltpu.VMEM((width // 2, ray_tile), jnp.float32))  # hv_enc
 
     def per_ray_spec(rows):
         return pl.BlockSpec(
@@ -458,6 +492,8 @@ def nerf_render_pallas(
         skips=kparams.skips,
         n_samples=n_samples,
         density_only=density_only,
+        pts_freqs=kparams.pts_freqs,
+        width=width,
         compute_dtype=compute_dtype,
     )
 
@@ -470,12 +506,12 @@ def nerf_render_pallas(
         # front-to-back on-core; the scratch carries the composite.
         grid=(n_tiles, n_samples),
         in_specs=[
-            per_ray_spec(PTS_ENC_DIM),
-            per_ray_spec(PTS_ENC_DIM),
+            per_ray_spec(o_ph.shape[0]),
+            per_ray_spec(d_ph.shape[0]),
             pl.BlockSpec(
                 (1, 8, ray_tile), lambda i, s: (s, 0, i), memory_space=pltpu.VMEM
             ),  # per-sample z/dist slab
-            per_ray_spec(VIEW_ENC_DIM),
+            per_ray_spec(venc.shape[0]),
         ]
         + weight_specs,
         out_specs=out_spec,
@@ -535,8 +571,8 @@ def render_rays_fused(
     near = rays.near.astype(jnp.float32)
     far = rays.far.astype(jnp.float32)
 
-    o_ph, d_ph = ray_phase_vectors(origins, dirs)
-    venc = encode_viewdirs_kernel_order(viewdirs)
+    o_ph, d_ph = ray_phase_vectors(origins, dirs, kp_coarse.pts_freqs)
+    venc = encode_viewdirs_kernel_order(viewdirs, num_freqs=kp_coarse.view_freqs)
     dir_norm = jnp.linalg.norm(dirs, axis=-1)[None, :]  # [1, R]
 
     # Coarse: density-only -> per-sample weights.

@@ -37,6 +37,8 @@ def shard_render(
     chunk: int = 8192,
     full_outputs: bool = False,
     axis_name: Optional[str] = None,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Render a flat RayBundle with rays sharded across the mesh.
 
@@ -45,6 +47,8 @@ def shard_render(
         equal static shard.
       chunk: per-device tile size; shards smaller than one chunk render in a
         single unchunked call.
+      use_pallas: run the fused render kernel on each device's shard (the
+        production multi-chip path: kernel per shard, zero collectives).
     Returns:
       Output dict with leading dim N (same contract as render_rays_chunked).
     """
@@ -61,6 +65,18 @@ def shard_render(
     rays_padded = RayBundle(*(pad(f) for f in rays))
 
     def device_fn(params: Dict[str, Any], local_rays: RayBundle):
+        if use_pallas:
+            from nerf_workspaces_explorer_tpu.ops.pallas_render import (
+                render_rays_fused,
+            )
+
+            ray_tile = min(2048, max(128, shard))
+            out = render_rays_fused(
+                params, local_rays, settings, spec=spec,
+                ray_tile=ray_tile, interpret=interpret, full=True,
+            )
+            return {"rgb_fine": out.rgb, "depth_fine": out.depth[:, None],
+                    "acc_fine": out.acc[:, None]}
         if shard <= chunk:
             return render_ray_bundle(
                 params, local_rays, settings.for_eval(), spec=spec,
@@ -76,5 +92,7 @@ def shard_render(
         mesh=mesh,
         in_specs=(P(), P(axis_name)),
         out_specs=P(axis_name),
+        # pallas_call outputs don't carry varying-mesh-axis metadata yet.
+        check_vma=not use_pallas,
     )(params, rays_padded)
     return {k: v[:n] for k, v in out.items()}

@@ -73,11 +73,16 @@ class Trainer:
         seed: int = 0,
         save_dir: Optional[str] = None,
         enable_tensorboard: bool = True,
+        use_pallas: Optional[bool] = None,
     ) -> None:
         self._office_name = office_name
         self._config = config if config is not None else load_config(office_name=office_name)
         self._mesh = mesh
         self._seed = seed
+        # Eval renders use the fused Pallas kernel on TPU by default.
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform == "tpu"
+        self._use_pallas = use_pallas
         self.timer = StepTimer()
 
         self._save_dir = save_dir or _next_run_dir(
@@ -307,9 +312,25 @@ class Trainer:
         eval_settings = self._settings.for_eval()
         images = []
         for i in range(rays.origins.shape[0]):
+            image_rays = RayBundle(*(f[i] for f in rays))
+            if self._use_pallas:
+                from nerf_workspaces_explorer_tpu.ops.pallas_render import (
+                    render_rays_fused,
+                )
+
+                rgb_flat = render_rays_fused(
+                    self.params, image_rays, eval_settings, spec=self._spec
+                )
+                rgb = np.asarray(rgb_flat).reshape(h, w, 3)
+                images.append(rgb)
+                if save_dir is not None:
+                    self._write_png(
+                        os.path.join(save_dir, f"rgb_{i:03d}.png"), to8b(rgb)
+                    )
+                continue
             out = render_rays_chunked(
                 self.params,
-                RayBundle(*(f[i] for f in rays)),
+                image_rays,
                 eval_settings,
                 spec=self._spec,
                 chunk=min(self._config.model.chunk, h * w),

@@ -59,3 +59,18 @@ def test_shard_render_under_jit(params):
     out = fn(params, rays)
     assert out["rgb_fine"].shape == (128, 3)
     assert np.all(np.isfinite(np.asarray(out["rgb_fine"])))
+
+
+def test_shard_render_fused_kernel_interpret(params):
+    """The production multi-chip path: fused Pallas kernel per ray shard
+    (interpret mode on the CPU mesh)."""
+    rays = create_rays(jnp.eye(4)[None], 8, 16, 8.0, 8.0, 7.5, 3.5, 0.5, 4.0).reshape(128)
+    mesh = data_mesh()
+    out = shard_render(
+        params, rays, SETTINGS, mesh, spec=SPEC, use_pallas=True, interpret=True
+    )
+    assert out["rgb_fine"].shape == (128, 3)
+    single = render_ray_bundle(params, rays, SETTINGS.for_eval(), spec=SPEC, full_outputs=False)
+    np.testing.assert_allclose(
+        np.asarray(out["rgb_fine"]), np.asarray(single["rgb_fine"]), atol=5e-3
+    )

@@ -192,3 +192,28 @@ def test_trainer_checkpoint_resume(synthetic_trainer):
     # Training continues after resume.
     trainer.step(saved_step)
     assert int(trainer.state.step) == saved_step + 1
+
+
+def test_train_cli_synthetic_with_export(tmp_path, monkeypatch):
+    """Drive the training CLI end-to-end: synthetic data, a few steps,
+    final-model export in both formats."""
+    monkeypatch.chdir(tmp_path)
+    from nerf_workspaces_explorer_tpu.cli.train import main as train_main
+
+    train_main([
+        "--office", "tokyo", "--synthetic", "--synthetic-size", "16",
+        "--iterations", "2", "--save-dir", str(tmp_path / "run"),
+        "--export-final",
+    ])
+    assert os.path.exists(tmp_path / "final_models" / "office_tokyo" / "model.npz")
+
+
+def test_obs_debug_scan():
+    from nerf_workspaces_explorer_tpu.obs import scan_outputs_finite
+
+    good = {"a": np.ones(3), "b": None}
+    assert scan_outputs_finite(good) == []
+    bad = {"a": np.array([1.0, np.nan])}
+    assert scan_outputs_finite(bad) == ["a"]
+    with pytest.raises(FloatingPointError):
+        scan_outputs_finite(bad, raise_on_error=True)
