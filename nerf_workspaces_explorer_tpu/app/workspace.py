@@ -111,6 +111,16 @@ class Workspace(metaclass=ABCMeta):
         init_coordinates, coordinates = self._transform_relative_coordinates(
             rel_x, rel_y, horizontal_angle, vertical_angle
         )
+        # Console trace preserved from reference workspace.py:58-64.
+        print(
+            f"Virtual camera coordinates and orientation: \n{init_coordinates}\n"
+            f"-------------------------------------\n"
+            f"Virtual camera local orientation: \n"
+            f"yaw (left-right): {coordinates.yaw:.3f}\n"
+            f"pitch (up-down): {coordinates.pitch:.3f}\n"
+            f"roll (twist): {coordinates.roll:.3f}\n"
+            f"-------------------------------------------------------------"
+        )
         return self._nerf_inference.render_coordinates(init_coordinates, coordinates)
 
 

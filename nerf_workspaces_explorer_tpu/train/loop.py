@@ -408,6 +408,27 @@ class Trainer:
         print(f"Saved checkpoints at {path}")
         return path
 
+    def export_results(self, out_dir: Optional[str] = None) -> list:
+        """Export the reference's nine SVG training curves
+        (SURVEY.md component 22) from this run's TensorBoard logs."""
+        from nerf_workspaces_explorer_tpu.obs.export import (
+            export_training_curves,
+            scalars_from_tensorboard_logs,
+        )
+
+        if out_dir is None:
+            out_dir = os.path.join(self._save_dir, "results")
+        log_dir = os.path.join(self._save_dir, "tensorboard_logs")
+        writer = getattr(self._tb, "summary_writer", None) if self._tb else None
+        if writer is not None and hasattr(writer, "scalars") and writer.scalars:
+            scalars = writer.scalars  # null-writer in-memory history
+        else:
+            try:
+                scalars = scalars_from_tensorboard_logs(log_dir)
+            except Exception:
+                scalars = {}
+        return export_training_curves(scalars, out_dir)
+
     def resume_from_checkpoint(self, path: str) -> int:
         """Restore params, optimizer state and step; returns the step."""
         if self._state is None:
