@@ -69,6 +69,10 @@ def main() -> None:
     rays_per_sec = WIDTH * HEIGHT / (elapsed / TIMED_FRAMES)
     n_chips = jax.device_count()
 
+    # Training throughput at the shipped office config (1024 rays/step,
+    # 64+128 samples, full 8x256 coarse+fine with backward + Adam).
+    train_steps_per_sec = _bench_train_step()
+
     print(
         json.dumps(
             {
@@ -77,12 +81,43 @@ def main() -> None:
                 "unit": "ms",
                 "vs_baseline": round(TARGET_MS / ms_per_frame, 4),
                 "rays_per_sec_per_chip": round(rays_per_sec / n_chips),
+                "train_steps_per_sec": round(train_steps_per_sec, 2),
                 "n_chips": n_chips,
                 "samples_per_ray": 64 + 128,
                 "device": str(jax.devices()[0].device_kind),
             }
         )
     )
+
+
+def _bench_train_step(n_steps: int = 30) -> float:
+    import jax.numpy as jnp
+
+    from nerf_workspaces_explorer_tpu.models import NerfMLPSpec
+    from nerf_workspaces_explorer_tpu.rays import create_rays
+    from nerf_workspaces_explorer_tpu.render import RenderSettings
+    from nerf_workspaces_explorer_tpu.train import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    spec = NerfMLPSpec()
+    settings = RenderSettings()  # office config
+    optimizer = make_optimizer()
+    state = init_train_state(jax.random.PRNGKey(0), spec, optimizer)
+    poses = jnp.stack([jnp.eye(4)] * 4)
+    rays = create_rays(poses, 240, 320, 160.0, 160.0, 159.5, 119.5, 0.1, 10.0)
+    rgbs = jax.random.uniform(jax.random.PRNGKey(1), (4, 240 * 320, 3))
+    step = make_train_step(settings, spec, optimizer, n_rays=1024)
+    key = jax.random.PRNGKey(2)
+    state, metrics = step(state, rays, rgbs, key)  # compile
+    float(metrics["total_loss"])
+    start = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, rays, rgbs, key)
+    float(metrics["total_loss"])
+    return n_steps / (time.perf_counter() - start)
 
 
 if __name__ == "__main__":

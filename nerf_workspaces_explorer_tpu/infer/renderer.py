@@ -87,7 +87,7 @@ class NeRFRenderer:
         config: Optional[FrameworkConfig] = None,
         precision: str = "parity",
         chunk: Optional[int] = None,
-        use_pallas: bool = False,
+        use_pallas: Optional[bool] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
     ) -> None:
         self._office_name = office_name
@@ -95,6 +95,12 @@ class NeRFRenderer:
         self._config = config if config is not None else load_config(office_name=office_name)
         self._precision = precision
         self._chunk = chunk if chunk is not None else self._config.inference.chunk
+        if use_pallas is None:
+            # The fused kernel is the production path on TPU; the jnp
+            # pipeline serves CPU runs and fp32 "parity" verification.
+            use_pallas = (
+                jax.devices()[0].platform == "tpu" and precision != "parity"
+            )
         self._use_pallas = use_pallas
         self._mesh = mesh
 

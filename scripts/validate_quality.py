@@ -1,0 +1,117 @@
+"""End-to-end quality validation: train -> render -> PSNR/SSIM.
+
+Trains a NeRF on a synthetic scene at the shipped office configuration
+(8x256 coarse+fine, 64+128 samples, 1024 rays/step), renders held-out test
+views with the fused Pallas kernel, and reports:
+  - test PSNR/SSIM vs ground truth (training quality),
+  - SSIM between the fused-kernel render and the jnp reference pipeline on
+    the same trained weights (the BASELINE.md >= 99% SSIM fidelity target).
+
+Run on the TPU:  python scripts/validate_quality.py [--steps 3000]
+(Reference quality context: the reference reaches 23-39 dB test PSNR on the
+four Replica offices after 200k steps — BASELINE.md.)
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--steps", type=int, default=3000)
+    parser.add_argument("--height", type=int, default=96)
+    parser.add_argument("--width", type=int, default=128)
+    parser.add_argument("--out", type=str, default="/tmp/validate_quality")
+    args = parser.parse_args()
+
+    from nerf_workspaces_explorer_tpu.core.config import (
+        ExperimentConfig,
+        FrameworkConfig,
+        LoggingConfig,
+        RenderingConfig,
+    )
+    from nerf_workspaces_explorer_tpu.data import make_synthetic_scene
+    from nerf_workspaces_explorer_tpu.ops.pallas_render import render_rays_fused
+    from nerf_workspaces_explorer_tpu.rays.raygen import RayBundle
+    from nerf_workspaces_explorer_tpu.render import render_rays_chunked
+    from nerf_workspaces_explorer_tpu.train import Trainer
+    from nerf_workspaces_explorer_tpu.utils.metrics import ssim, to8b
+
+    h, w = args.height, args.width
+    cfg = FrameworkConfig(
+        experiment=ExperimentConfig(image_width=w, image_height=h),
+        rendering=RenderingConfig(depth_range=(0.1, 6.0)),
+        logging=LoggingConfig(
+            step_log_print=0,
+            step_log_tensorboard=2**31 - 1,
+            step_save_ckpt=0,
+            step_render_test=0,
+            step_render_train=0,
+        ),
+    )
+    train, test, _ = make_synthetic_scene(n_train=12, n_test=3, height=h, width=w)
+    os.makedirs(args.out, exist_ok=True)
+    trainer = Trainer(
+        "office_synth_validation",
+        cfg,
+        train_data=train,
+        test_data=test,
+        save_dir=os.path.join(args.out, "run"),
+        enable_tensorboard=False,
+    )
+    trainer.setup()
+
+    start = time.time()
+    for i in range(args.steps):
+        metrics = trainer.step(i)
+        if i % 500 == 0:
+            print(
+                f"step {i}: loss {float(metrics['total_loss']):.5f} "
+                f"psnr_fine {float(metrics['psnr_fine']):.2f}",
+                flush=True,
+            )
+    train_time = time.time() - start
+    print(f"trained {args.steps} steps in {train_time:.0f}s "
+          f"({args.steps / train_time:.1f} steps/s)")
+
+    eval_settings = trainer._settings.for_eval()
+    psnrs, ssims = [], []
+    rgb = gt = None
+    for i in range(len(test)):
+        image_rays = RayBundle(*(f[i] for f in trainer.rays_test))
+        rgb = np.asarray(
+            render_rays_fused(trainer.params, image_rays, eval_settings, spec=trainer._spec)
+        ).reshape(h, w, 3)
+        gt = test.rgb[i]
+        mse = float(np.mean((rgb - gt) ** 2))
+        psnrs.append(-10 * np.log10(mse))
+        ssims.append(ssim(rgb, gt))
+    print(f"TEST fused-kernel renders: PSNR {np.mean(psnrs):.2f} dB, "
+          f"SSIM {np.mean(ssims):.4f}")
+
+    try:
+        import imageio
+
+        imageio.imwrite(os.path.join(args.out, "render.png"), to8b(rgb))
+        imageio.imwrite(os.path.join(args.out, "ground_truth.png"), to8b(gt))
+    except ImportError:
+        pass
+
+    out = render_rays_chunked(
+        trainer.params, image_rays, eval_settings, spec=trainer._spec, chunk=4096
+    )
+    rgb_jnp = np.asarray(out["rgb_fine"]).reshape(h, w, 3)
+    fidelity = ssim(rgb, rgb_jnp)
+    print(f"fused vs jnp pipeline on trained weights: "
+          f"max|err| {np.abs(rgb - rgb_jnp).max():.2e}, SSIM {fidelity:.5f} "
+          f"(target >= 0.99)")
+
+
+if __name__ == "__main__":
+    main()
