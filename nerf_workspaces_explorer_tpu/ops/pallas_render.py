@@ -292,6 +292,7 @@ def _render_kernel(
     density_only: bool,
     pts_freqs: int,
     width: int,
+    early_stop_eps: float,
     compute_dtype,
 ):
     """One (ray tile, sample) grid step: evaluate the field at one depth
@@ -342,39 +343,64 @@ def _render_kernel(
                 w_view_enc, venc, preferred_element_type=jnp.float32
             )
 
-    # zd block is [1, 8, R]: sublane 0 = z, 1 = dist (DMA'd per sample step,
-    # pipelined by Pallas against the previous step's compute).
-    zd = zd_ref[0]  # [8, R]
-    z_row = zd[0:1, :]  # [1, R]
-    dist_row = zd[1:2, :]
-    feat = _encode_step(o_ph_ref[:], d_ph_ref[:], z_row, pts_freqs, compute_dtype)
-    h = _trunk(feat, w_layers, w_skip_enc, b_layers, skips, compute_dtype)
-    trans = acc_ref[5:6, :]
+    # Early ray termination (framework extension, NerfAcc-style): once every
+    # ray in the tile has transmittance below eps, remaining samples cannot
+    # contribute a visible amount (< eps < 1/255) — skip their MLP entirely.
+    # Samples run front-to-back, so this is exact up to eps.
+    tile_alive = (
+        jnp.max(acc_ref[5:6, :]) > early_stop_eps
+        if early_stop_eps > 0.0
+        else (s <= n_samples)  # always true
+    )
 
     if density_only:
-        sigma = jnp.dot(w_alpha, h, preferred_element_type=jnp.float32) + b_alpha
-        alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma[:1]) * dist_row)
-        out_ref[0, 0:1, :] = alpha * trans  # [S, 8, R] output, sublane 0 live
-        acc_ref[5:6, :] = trans * (1.0 - alpha + 1e-10)
+
+        @pl.when(jnp.logical_not(tile_alive))
+        def _dead():
+            out_ref[0] = jnp.zeros_like(out_ref[0])
+
+        @pl.when(tile_alive)
+        def _live():
+            # zd block is [1, 8, R]: sublane 0 = z, 1 = dist (DMA'd per
+            # sample step, pipelined against the previous step's compute).
+            zd = zd_ref[0]  # [8, R]
+            z_row = zd[0:1, :]
+            dist_row = zd[1:2, :]
+            feat = _encode_step(o_ph_ref[:], d_ph_ref[:], z_row, pts_freqs, compute_dtype)
+            h = _trunk(feat, w_layers, w_skip_enc, b_layers, skips, compute_dtype)
+            trans = acc_ref[5:6, :]
+            sigma = jnp.dot(w_alpha, h, preferred_element_type=jnp.float32) + b_alpha
+            alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma[:1]) * dist_row)
+            out_ref[0, 0:1, :] = alpha * trans  # [S, 8, R] output, sublane 0 live
+            acc_ref[5:6, :] = trans * (1.0 - alpha + 1e-10)
+
         return
 
-    fa = jnp.dot(w_fa, h, preferred_element_type=jnp.float32) + b_fa
-    feature = fa[:width].astype(compute_dtype)
-    sigma = fa[width : width + 1]
-    hv = jax.nn.relu(
-        jnp.dot(w_view_h, feature, preferred_element_type=jnp.float32)
-        + hv_enc_ref[:]
-        + b_view
-    ).astype(compute_dtype)
-    rgb = jnp.dot(w_rgb, hv, preferred_element_type=jnp.float32) + b_rgb  # [8, R]
-    rgb = jax.nn.sigmoid(rgb[:3])
+    @pl.when(tile_alive)
+    def _live_full():
+        zd = zd_ref[0]
+        z_row = zd[0:1, :]
+        dist_row = zd[1:2, :]
+        feat = _encode_step(o_ph_ref[:], d_ph_ref[:], z_row, pts_freqs, compute_dtype)
+        h = _trunk(feat, w_layers, w_skip_enc, b_layers, skips, compute_dtype)
+        trans = acc_ref[5:6, :]
+        fa = jnp.dot(w_fa, h, preferred_element_type=jnp.float32) + b_fa
+        feature = fa[:width].astype(compute_dtype)
+        sigma = fa[width : width + 1]
+        hv = jax.nn.relu(
+            jnp.dot(w_view_h, feature, preferred_element_type=jnp.float32)
+            + hv_enc_ref[:]
+            + b_view
+        ).astype(compute_dtype)
+        rgb = jnp.dot(w_rgb, hv, preferred_element_type=jnp.float32) + b_rgb  # [8, R]
+        rgb = jax.nn.sigmoid(rgb[:3])
 
-    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dist_row)  # [1, R]
-    weight = alpha * trans
-    acc_ref[0:3, :] = acc_ref[0:3, :] + weight * rgb
-    acc_ref[3:4, :] = acc_ref[3:4, :] + weight * z_row
-    acc_ref[4:5, :] = acc_ref[4:5, :] + weight
-    acc_ref[5:6, :] = trans * (1.0 - alpha + 1e-10)
+        alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dist_row)  # [1, R]
+        weight = alpha * trans
+        acc_ref[0:3, :] = acc_ref[0:3, :] + weight * rgb
+        acc_ref[3:4, :] = acc_ref[3:4, :] + weight * z_row
+        acc_ref[4:5, :] = acc_ref[4:5, :] + weight
+        acc_ref[5:6, :] = trans * (1.0 - alpha + 1e-10)
 
     @pl.when(s == n_samples - 1)
     def _finish():
@@ -399,6 +425,7 @@ def nerf_render_pallas(
     density_only: bool = False,
     ray_tile: int = DEFAULT_RAY_TILE,
     compute_dtype=jnp.bfloat16,
+    early_stop_eps: float = 1e-4,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run the fused render kernel over a flat set of rays.
@@ -494,6 +521,7 @@ def nerf_render_pallas(
         density_only=density_only,
         pts_freqs=kparams.pts_freqs,
         width=width,
+        early_stop_eps=early_stop_eps,
         compute_dtype=compute_dtype,
     )
 
@@ -550,6 +578,7 @@ def render_rays_fused(
     ray_tile: int = DEFAULT_RAY_TILE,
     interpret: bool = False,
     full: bool = False,
+    early_stop_eps: float = 1e-4,
 ):
     """Coarse+fine inference through the fused kernel.
 
@@ -585,6 +614,7 @@ def render_rays_fused(
         _dists_from_z(z_coarse, dir_norm),
         density_only=True,
         ray_tile=ray_tile,
+        early_stop_eps=early_stop_eps,
         interpret=interpret,
     )
 
@@ -605,6 +635,7 @@ def render_rays_fused(
         _dists_from_z(z_fine, dir_norm),
         venc,
         ray_tile=ray_tile,
+        early_stop_eps=early_stop_eps,
         interpret=interpret,
     )
     rgb = maps[0:3].T

@@ -133,3 +133,21 @@ def test_fused_render_full_outputs(params):
     ref = render_ray_bundle(params, rays, settings.for_eval(), spec=SPEC, full_outputs=True)
     np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref["depth_fine"]), atol=5e-2)
     np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref["acc_fine"]), atol=5e-3)
+
+
+def test_early_termination_matches_no_termination(params):
+    """With opaque content, early-stopped renders must match the untruncated
+    render to ~eps; with eps=0 the feature is off entirely."""
+    settings = RenderSettings(n_samples=16, n_importance=16)
+    rays = create_rays(jnp.eye(4)[None], 8, 16, 8.0, 8.0, 7.5, 3.5, 0.5, 4.0).reshape(128)
+    # Saturating density: boost alpha bias so transmittance collapses early.
+    hot = jax.tree.map(lambda x: x, params)
+    for net in hot.values():
+        net["alpha"]["b"] = net["alpha"]["b"] + 6.0
+    rgb_stop = np.asarray(render_rays_fused(
+        hot, rays, settings, spec=SPEC, ray_tile=128, interpret=True, early_stop_eps=1e-4
+    ))
+    rgb_full = np.asarray(render_rays_fused(
+        hot, rays, settings, spec=SPEC, ray_tile=128, interpret=True, early_stop_eps=0.0
+    ))
+    np.testing.assert_allclose(rgb_stop, rgb_full, atol=2e-4)
