@@ -72,13 +72,20 @@ def main(argv=None) -> None:
 
     # Tour: sweep horizontal angles then vertical angles (the GUI's four
     # camera buttons, reference application/app.py:384-414, step 30 deg).
-    frames = []
+    # All tour poses render through ONE batched jit (renderer.render_poses).
+    from nerf_workspaces_explorer_tpu.camera.poses import poses_from_coordinates
+    from nerf_workspaces_explorer_tpu.utils.metrics import to8b
+
     angles = list(range(-90, 91, args.tour_step))
+    views = [(h, 0) for h in angles] + [(0, v) for v in angles]
+    init, _ = workspace.transform_relative_coordinates(args.rel_x, args.rel_y, 0, 0)
+    deltas = [
+        workspace.transform_relative_coordinates(args.rel_x, args.rel_y, h, v)[1]
+        for h, v in views
+    ]
+    poses = poses_from_coordinates(init, deltas)
     start = time.perf_counter()
-    for hangle in angles:
-        frames.append(workspace.render_image(args.rel_x, args.rel_y, hangle, 0))
-    for vangle in angles:
-        frames.append(workspace.render_image(args.rel_x, args.rel_y, 0, vangle))
+    frames = [to8b(f) for f in workspace.renderer.render_poses(poses)]
     elapsed = time.perf_counter() - start
     for i, frame in enumerate(frames):
         imageio.imwrite(os.path.join(args.out, f"{office}_tour_{i:03d}.png"), frame)

@@ -108,6 +108,7 @@ class NeRFRenderer:
         self._settings = settings_from_config(self._config).for_eval()
         self._params: Optional[Dict[str, Any]] = None
         self._render_jit = None
+        self._render_batch_jit = None
 
     @property
     def config(self) -> FrameworkConfig:
@@ -214,5 +215,60 @@ class NeRFRenderer:
         return to8b(np.asarray(rgb))
 
     def render_poses(self, c2ws: Sequence[np.ndarray]) -> np.ndarray:
-        """Render a batch of poses -> float32 [N, H, W, 3] (eval/tour path)."""
-        return np.stack([np.asarray(self.render_pose(p)) for p in c2ws], axis=0)
+        """Render a batch of poses -> float32 [N, H, W, 3] (eval/tour path).
+
+        All frames render in ONE jitted program (rays of every pose
+        flattened into a single bundle), so a camera tour pays dispatch
+        and compile cost once (BASELINE.json config 3).
+        """
+        if self._render_batch_jit is None:
+            self._build_batch_render_fn()
+        cfg = self._config
+        # Cap rays per launch: the fine pass keeps [S, 8, rays] z/dist slabs
+        # in HBM (~6 GB per million rays at S=192), so long tours render in
+        # equal-size groups that stay well inside the 16 GB chip.
+        frames_per_group = max(1, 1_000_000 // cfg.n_pix)
+        c2ws = [np.asarray(p) for p in c2ws]
+        outputs = []
+        for start in range(0, len(c2ws), frames_per_group):
+            group = c2ws[start : start + frames_per_group]
+            # Pad the last group to the jitted batch size to avoid recompiles.
+            pad = frames_per_group - len(group)
+            batch = jnp.asarray(
+                np.stack(group + [group[-1]] * pad), dtype=jnp.float32
+            )
+            frames = np.asarray(self._render_batch_jit(self._params, batch))
+            outputs.append(frames[: len(group)])
+        return np.concatenate(outputs, axis=0)
+
+    def _build_batch_render_fn(self) -> None:
+        cfg = self._config
+        h, w = cfg.experiment.image_height, cfg.experiment.image_width
+        near, far = cfg.rendering.depth_range
+        settings = self._settings
+        spec = self._spec
+        chunk = self._chunk
+        use_pallas = self._use_pallas
+        matmul_precision = "highest" if self._precision == "parity" else "default"
+
+        def render_batch(params: Dict[str, Any], c2ws: jnp.ndarray) -> jnp.ndarray:
+            with jax.default_matmul_precision(matmul_precision):
+                n = c2ws.shape[0]
+                rays = create_rays(
+                    c2ws, h, w, cfg.fx, cfg.fy, cfg.cx, cfg.cy, near, far
+                ).reshape(n * h * w)
+                if use_pallas:
+                    from nerf_workspaces_explorer_tpu.ops.pallas_render import (
+                        render_rays_fused,
+                    )
+
+                    rgb = render_rays_fused(params, rays, settings, spec=spec)
+                else:
+                    if self._precision == "fast":
+                        rays = jax.tree.map(lambda x: x.astype(jnp.bfloat16), rays)
+                    rgb = render_rays_chunked(
+                        params, rays, settings, spec=spec, chunk=chunk
+                    )["rgb_fine"]
+                return rgb.astype(jnp.float32).reshape(n, h, w, 3)
+
+        self._render_batch_jit = jax.jit(render_batch)
