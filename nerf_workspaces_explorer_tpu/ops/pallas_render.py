@@ -289,6 +289,7 @@ def _render_kernel(
     n_skips: int,
     skips: tuple,
     n_samples: int,
+    samples_per_step: int,
     density_only: bool,
     pts_freqs: int,
     width: int,
@@ -330,9 +331,11 @@ def _render_kernel(
     acc_ref = refs[idx + 1]  # [8, R] fp32 scratch: 0-2 rgb, 3 depth, 4 acc, 5 trans
     hv_enc_ref = refs[idx + 2] if not density_only else None  # [128, R] fp32
 
-    s = pl.program_id(1)
+    g = pl.program_id(1)  # sample-group index; group g covers samples
+    # [g*samples_per_step, (g+1)*samples_per_step).
+    n_groups = n_samples // samples_per_step
 
-    @pl.when(s == 0)
+    @pl.when(g == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         acc_ref[5:6, :] = jnp.ones_like(acc_ref[5:6, :])
@@ -350,7 +353,7 @@ def _render_kernel(
     tile_alive = (
         jnp.max(acc_ref[5:6, :]) > early_stop_eps
         if early_stop_eps > 0.0
-        else (s <= n_samples)  # always true
+        else (g <= n_groups)  # always true
     )
 
     if density_only:
@@ -361,48 +364,63 @@ def _render_kernel(
 
         @pl.when(tile_alive)
         def _live():
-            # zd block is [1, 8, R]: sublane 0 = z, 1 = dist (DMA'd per
-            # sample step, pipelined against the previous step's compute).
+            # zd block is [1, 8, R]: sublane 2k = z_k, 2k+1 = dist_k for the
+            # group's samples (DMA'd per group, pipelined against compute).
             zd = zd_ref[0]  # [8, R]
-            z_row = zd[0:1, :]
-            dist_row = zd[1:2, :]
-            feat = _encode_step(o_ph_ref[:], d_ph_ref[:], z_row, pts_freqs, compute_dtype)
-            h = _trunk(feat, w_layers, w_skip_enc, b_layers, skips, compute_dtype)
+            o_ph = o_ph_ref[:]
+            d_ph = d_ph_ref[:]
             trans = acc_ref[5:6, :]
-            sigma = jnp.dot(w_alpha, h, preferred_element_type=jnp.float32) + b_alpha
-            alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma[:1]) * dist_row)
-            out_ref[0, 0:1, :] = alpha * trans  # [S, 8, R] output, sublane 0 live
-            acc_ref[5:6, :] = trans * (1.0 - alpha + 1e-10)
+            for k in range(samples_per_step):
+                z_row = zd[2 * k : 2 * k + 1, :]
+                dist_row = zd[2 * k + 1 : 2 * k + 2, :]
+                feat = _encode_step(o_ph, d_ph, z_row, pts_freqs, compute_dtype)
+                h = _trunk(feat, w_layers, w_skip_enc, b_layers, skips, compute_dtype)
+                sigma = jnp.dot(w_alpha, h, preferred_element_type=jnp.float32) + b_alpha
+                alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma[:1]) * dist_row)
+                out_ref[0, k : k + 1, :] = alpha * trans
+                trans = trans * (1.0 - alpha + 1e-10)
+            acc_ref[5:6, :] = trans
 
         return
 
     @pl.when(tile_alive)
     def _live_full():
         zd = zd_ref[0]
-        z_row = zd[0:1, :]
-        dist_row = zd[1:2, :]
-        feat = _encode_step(o_ph_ref[:], d_ph_ref[:], z_row, pts_freqs, compute_dtype)
-        h = _trunk(feat, w_layers, w_skip_enc, b_layers, skips, compute_dtype)
+        o_ph = o_ph_ref[:]
+        d_ph = d_ph_ref[:]
+        hv_enc = hv_enc_ref[:]
         trans = acc_ref[5:6, :]
-        fa = jnp.dot(w_fa, h, preferred_element_type=jnp.float32) + b_fa
-        feature = fa[:width].astype(compute_dtype)
-        sigma = fa[width : width + 1]
-        hv = jax.nn.relu(
-            jnp.dot(w_view_h, feature, preferred_element_type=jnp.float32)
-            + hv_enc_ref[:]
-            + b_view
-        ).astype(compute_dtype)
-        rgb = jnp.dot(w_rgb, hv, preferred_element_type=jnp.float32) + b_rgb  # [8, R]
-        rgb = jax.nn.sigmoid(rgb[:3])
+        rgb_acc = acc_ref[0:3, :]
+        depth_acc = acc_ref[3:4, :]
+        w_acc = acc_ref[4:5, :]
+        for k in range(samples_per_step):
+            z_row = zd[2 * k : 2 * k + 1, :]
+            dist_row = zd[2 * k + 1 : 2 * k + 2, :]
+            feat = _encode_step(o_ph, d_ph, z_row, pts_freqs, compute_dtype)
+            h = _trunk(feat, w_layers, w_skip_enc, b_layers, skips, compute_dtype)
+            fa = jnp.dot(w_fa, h, preferred_element_type=jnp.float32) + b_fa
+            feature = fa[:width].astype(compute_dtype)
+            sigma = fa[width : width + 1]
+            hv = jax.nn.relu(
+                jnp.dot(w_view_h, feature, preferred_element_type=jnp.float32)
+                + hv_enc
+                + b_view
+            ).astype(compute_dtype)
+            rgb = jnp.dot(w_rgb, hv, preferred_element_type=jnp.float32) + b_rgb
+            rgb = jax.nn.sigmoid(rgb[:3])
 
-        alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dist_row)  # [1, R]
-        weight = alpha * trans
-        acc_ref[0:3, :] = acc_ref[0:3, :] + weight * rgb
-        acc_ref[3:4, :] = acc_ref[3:4, :] + weight * z_row
-        acc_ref[4:5, :] = acc_ref[4:5, :] + weight
-        acc_ref[5:6, :] = trans * (1.0 - alpha + 1e-10)
+            alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dist_row)  # [1, R]
+            weight = alpha * trans
+            rgb_acc = rgb_acc + weight * rgb
+            depth_acc = depth_acc + weight * z_row
+            w_acc = w_acc + weight
+            trans = trans * (1.0 - alpha + 1e-10)
+        acc_ref[0:3, :] = rgb_acc
+        acc_ref[3:4, :] = depth_acc
+        acc_ref[4:5, :] = w_acc
+        acc_ref[5:6, :] = trans
 
-    @pl.when(s == n_samples - 1)
+    @pl.when(g == n_groups - 1)
     def _finish():
         out_ref[:] = acc_ref[:]
 
@@ -426,6 +444,7 @@ def nerf_render_pallas(
     ray_tile: int = DEFAULT_RAY_TILE,
     compute_dtype=jnp.bfloat16,
     early_stop_eps: float = 1e-4,
+    samples_per_step: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run the fused render kernel over a flat set of rays.
@@ -444,17 +463,22 @@ def nerf_render_pallas(
     n_tiles = -(-n_rays // ray_tile)
     padded = n_tiles * ray_tile
 
+    # 4 samples per grid step when the count divides: the zd slab's 8
+    # sublanes hold (z0,d0,..,z3,d3) exactly (no padding waste) and per-step
+    # fixed costs amortize 4x.
+    if samples_per_step is None:
+        samples_per_step = 4 if n_samples % 4 == 0 else 1
+    assert n_samples % samples_per_step == 0
+    n_groups = n_samples // samples_per_step
+
     o_ph = _pad_rays_axis(o_ph, padded)
     d_ph = _pad_rays_axis(d_ph, padded)
-    # [S, 8, R]: per-sample z/dist rows (8 sublanes for valid TPU tiling).
-    zd = jnp.stack(
-        [
-            _pad_rays_axis(z_vals, padded),
-            _pad_rays_axis(dists, padded),
-        ]
-        + [jnp.zeros((n_samples, padded), jnp.float32)] * 6,
-        axis=1,
-    )
+    # [G, 8, R]: group slabs with sublane 2k = z of sample k, 2k+1 = dist.
+    z_g = _pad_rays_axis(z_vals, padded).reshape(n_groups, samples_per_step, padded)
+    d_g = _pad_rays_axis(dists, padded).reshape(n_groups, samples_per_step, padded)
+    zd = jnp.stack([z_g, d_g], axis=2).reshape(n_groups, 2 * samples_per_step, padded)
+    if 2 * samples_per_step < 8:
+        zd = jnp.pad(zd, ((0, 0), (0, 8 - 2 * samples_per_step), (0, 0)))
     if venc is None:
         venc = jnp.zeros((_enc_dim(kparams.view_freqs), padded), dtype=compute_dtype)
     else:
@@ -481,8 +505,8 @@ def nerf_render_pallas(
         w_alpha = kparams.w_fa[width : width + 8]
         b_alpha = wide(kparams.b_fa[width : width + 8])
         weights += [w_alpha, b_alpha]
-        out_shape = jax.ShapeDtypeStruct((n_samples, 8, padded), jnp.float32)
-        # One [1, 8, tile] weights slab per sample step (sublane 0 live).
+        out_shape = jax.ShapeDtypeStruct((n_groups, 8, padded), jnp.float32)
+        # One [1, 8, tile] weights slab per group (sublane k = sample k).
         out_spec = pl.BlockSpec(
             (1, 8, ray_tile), lambda i, s: (s, 0, i), memory_space=pltpu.VMEM
         )
@@ -518,6 +542,7 @@ def nerf_render_pallas(
         n_skips=n_skips,
         skips=kparams.skips,
         n_samples=n_samples,
+        samples_per_step=samples_per_step,
         density_only=density_only,
         pts_freqs=kparams.pts_freqs,
         width=width,
@@ -530,9 +555,9 @@ def nerf_render_pallas(
 
     out = pl.pallas_call(
         kernel_entry,
-        # Sample axis LAST: for each ray tile, samples run sequentially
+        # Sample-group axis LAST: for each ray tile, groups run sequentially
         # front-to-back on-core; the scratch carries the composite.
-        grid=(n_tiles, n_samples),
+        grid=(n_tiles, n_groups),
         in_specs=[
             per_ray_spec(o_ph.shape[0]),
             per_ray_spec(d_ph.shape[0]),
@@ -552,7 +577,8 @@ def nerf_render_pallas(
         interpret=interpret,
     )(o_ph, d_ph, zd, venc, *weights)
     if density_only:
-        return out[:, 0, :n_rays]
+        # [G, 8, R] -> [S, R]: sublane k of group g is sample g*sub + k.
+        return out[:, :samples_per_step, :n_rays].reshape(n_samples, n_rays)
     return out[:, :n_rays]
 
 
