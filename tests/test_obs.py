@@ -61,3 +61,21 @@ def test_export_skips_missing_tags(tmp_path):
         {"Train/Loss/total_loss": [(0, 1.0)]}, str(tmp_path)
     )
     assert len(written) == 1
+
+
+def test_trace_context_writes_trace(tmp_path):
+    import jax.numpy as jnp
+
+    from nerf_workspaces_explorer_tpu.obs import trace_context
+
+    with trace_context(str(tmp_path / "trace")):
+        float(jnp.ones(8).sum())
+    # jax writes plugins/profile/<ts>/*; just check something appeared.
+    assert any((tmp_path / "trace").rglob("*")), "no trace files written"
+
+
+def test_trace_context_noop_without_dir():
+    from nerf_workspaces_explorer_tpu.obs import trace_context
+
+    with trace_context(None):
+        pass
