@@ -39,6 +39,18 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="render from random weights when no checkpoint exists (smoke tests)",
     )
+    parser.add_argument(
+        "--width", type=int, default=None, help="override render width"
+    )
+    parser.add_argument(
+        "--height", type=int, default=None, help="override render height"
+    )
+    parser.add_argument(
+        "--coarse-only",
+        action="store_true",
+        help="render with the coarse net only (n_importance=0; a framework "
+        "extension — this crashes the reference)",
+    )
     return parser
 
 
@@ -46,13 +58,36 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     office = f"office_{str(args.office).lower().strip().replace(' ', '_')}"
 
+    import dataclasses
+
     from nerf_workspaces_explorer_tpu.app.workspace import WORKSPACE_CLASSES
+    from nerf_workspaces_explorer_tpu.core.config import load_config
+    from nerf_workspaces_explorer_tpu.infer.renderer import NeRFRenderer
 
     if office not in WORKSPACE_CLASSES:
         raise RuntimeError(f"Office {office} unknown.")
 
+    renderer = None
+    if args.width or args.height or args.coarse_only:
+        cfg = load_config(office_name=office)
+        experiment = dataclasses.replace(
+            cfg.experiment,
+            image_width=args.width or cfg.experiment.image_width,
+            image_height=args.height or cfg.experiment.image_height,
+        )
+        rendering = cfg.rendering
+        if args.coarse_only:
+            rendering = dataclasses.replace(rendering, n_importance=0)
+        cfg = dataclasses.replace(cfg, experiment=experiment, rendering=rendering)
+        renderer = NeRFRenderer(
+            office, args.ckpt, config=cfg, precision=args.precision,
+            # The fused kernel implements the full coarse+fine pipeline;
+            # coarse-only runs through the jnp path.
+            use_pallas=False if args.coarse_only else None,
+        )
+
     workspace = WORKSPACE_CLASSES[office](
-        ckpt_path=args.ckpt, precision=args.precision
+        ckpt_path=args.ckpt, precision=args.precision, renderer=renderer
     )
     workspace.initialize_models(allow_random_init=args.random_init)
 

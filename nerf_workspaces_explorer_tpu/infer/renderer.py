@@ -185,15 +185,17 @@ class NeRFRenderer:
 
                     if self._precision == "fast":
                         rays = jax.tree.map(lambda x: x.astype(jnp.bfloat16), rays)
-                    rgb = shard_render(
+                    out = shard_render(
                         params, rays, settings, mesh, spec=spec, chunk=chunk
-                    )["rgb_fine"]
+                    )
+                    rgb = out.get("rgb_fine", out.get("rgb_coarse"))
                 else:
                     if self._precision == "fast":
                         rays = jax.tree.map(lambda x: x.astype(jnp.bfloat16), rays)
-                    rgb = render_rays_chunked(
+                    out = render_rays_chunked(
                         params, rays, settings, spec=spec, chunk=chunk
-                    )["rgb_fine"]
+                    )
+                    rgb = out.get("rgb_fine", out.get("rgb_coarse"))
                 return rgb.astype(jnp.float32).reshape(h, w, 3)
 
         self._render_jit = jax.jit(render_frame)
@@ -266,9 +268,10 @@ class NeRFRenderer:
                 else:
                     if self._precision == "fast":
                         rays = jax.tree.map(lambda x: x.astype(jnp.bfloat16), rays)
-                    rgb = render_rays_chunked(
+                    out = render_rays_chunked(
                         params, rays, settings, spec=spec, chunk=chunk
-                    )["rgb_fine"]
+                    )
+                    rgb = out.get("rgb_fine", out.get("rgb_coarse"))
                 return rgb.astype(jnp.float32).reshape(n, h, w, 3)
 
         self._render_batch_jit = jax.jit(render_batch)
