@@ -22,9 +22,8 @@ TPU-native design:
 
 from __future__ import annotations
 
-import functools
 import os
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

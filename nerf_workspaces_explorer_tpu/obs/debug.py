@@ -11,7 +11,7 @@ explicit finite-scan helper usable in tests and the trainer.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Mapping
+from typing import Any, List, Mapping
 
 import jax
 import numpy as np

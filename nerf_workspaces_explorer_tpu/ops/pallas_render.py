@@ -296,21 +296,23 @@ def _render_kernel(
     early_stop_eps: float,
     compute_dtype,
 ):
-    """One (ray tile, sample) grid step: evaluate the field at one depth
-    slice of a ray tile and fold it into the running composite.
+    """One (ray tile, sample group) grid step: evaluate the field at
+    `samples_per_step` depth slices of a ray tile and fold them into the
+    running composite.
 
-    The sample axis is the LAST grid dimension, so for each ray tile the
-    samples run front-to-back sequentially on-core; the composite state
+    The sample-group axis is the LAST grid dimension, so for each ray tile
+    the groups run front-to-back sequentially on-core; the composite state
     (transmittance + accumulated rgb/depth/acc) lives in a VMEM scratch that
-    persists across grid steps. The body is straight-line code — no in-kernel
-    loop, no dynamic slicing — so Mosaic pipelines the tiny per-step z/dist
-    DMAs against compute and the program compiles once.
+    persists across grid steps. The body is straight-line code (the group's
+    samples are statically unrolled) — no in-kernel loop over all samples,
+    no dynamic slicing — so Mosaic pipelines the per-group zd DMAs against
+    compute and the program compiles once.
 
     Outputs (transposed):
-      density_only: weights [S, R] (the reference's raw2outputs weights,
-        model_utils.py:71-76) — one [1, R] row per grid step.
+      density_only: weight slabs [G, 8, R] (sublane k = sample g*sub+k; the
+        reference's raw2outputs weights, model_utils.py:71-76).
       full: maps [8, R]: rows 0-2 rgb, 3 depth, 4 acc — written on the last
-        sample step.
+        group.
     """
     idx = 0
     w_layers = [refs[idx + i][:] for i in range(n_layers)]
