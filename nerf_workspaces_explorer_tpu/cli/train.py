@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="on completion, save final_models/<office>/model.npz (+ .ckpt when torch is available)",
     )
     parser.add_argument(
+        "--fused-field", action="store_true",
+        help="use the fused Pallas custom-VJP field kernels for training "
+        "(~2x steps/s on TPU; bf16 gradients)",
+    )
+    parser.add_argument(
         "--nan-debug", action="store_true",
         help="raise on the first NaN inside jitted code (slow; the analog of "
         "the reference's global anomaly detection)",
@@ -85,6 +90,7 @@ def main(argv=None) -> None:
         mesh=mesh,
         seed=args.seed,
         save_dir=args.save_dir,
+        field_impl="pallas" if args.fused_field else "xla",
     )
     trainer.setup()
 

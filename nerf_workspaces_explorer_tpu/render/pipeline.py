@@ -54,6 +54,9 @@ class RenderSettings(NamedTuple):
     num_freqs_2d: int = 4
     use_view_dirs: bool = True
     train: bool = False  # enables perturb/noise/stochastic importance
+    # Field (encode+MLP) implementation: "xla" (reference path, default) or
+    # "pallas" (fused custom-VJP kernels — the training fast path).
+    field_impl: str = "xla"
 
     @property
     def deterministic_importance(self) -> bool:
@@ -87,6 +90,19 @@ def _eval_network(
     Returns:
       [R, S, out] raw predictions.
     """
+    if settings.field_impl == "pallas":
+        assert settings.use_view_dirs and viewdirs is not None
+        assert not show_endpoint, "endpoint features use the xla field path"
+        from nerf_workspaces_explorer_tpu.ops.pallas_train import make_field_train_fn
+
+        field = make_field_train_fn(spec)
+        n_rays, n_samples = pts.shape[0], pts.shape[1]
+        pts_flat = pts.reshape(-1, 3)
+        views_flat = jnp.broadcast_to(
+            viewdirs[:, None, :], (n_rays, n_samples, 3)
+        ).reshape(-1, 3)
+        return field(params, pts_flat, views_flat).reshape(n_rays, n_samples, 4)
+
     encoded_pts = positional_encoding(pts, settings.num_freqs_3d, scalar_factor=10.0)
     encoded_views = None
     if settings.use_view_dirs:

@@ -74,6 +74,7 @@ class Trainer:
         save_dir: Optional[str] = None,
         enable_tensorboard: bool = True,
         use_pallas: Optional[bool] = None,
+        field_impl: str = "xla",
     ) -> None:
         self._office_name = office_name
         self._config = config if config is not None else load_config(office_name=office_name)
@@ -83,6 +84,7 @@ class Trainer:
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform == "tpu"
         self._use_pallas = use_pallas
+        self._field_impl = field_impl
         self.timer = StepTimer()
 
         self._save_dir = save_dir or _next_run_dir(
@@ -205,6 +207,7 @@ class Trainer:
             self._optimizer,
             cfg.rendering.n_rays,
             mesh=self._mesh,
+            field_impl=self._field_impl,
         )
 
     def initialize_rays(self) -> None:

@@ -139,6 +139,7 @@ def make_train_step(
     mesh: Optional[jax.sharding.Mesh] = None,
     axis_name: str = "data",
     donate: bool = True,
+    field_impl: str = "xla",
 ):
     """Build the jitted train step.
 
@@ -149,7 +150,7 @@ def make_train_step(
     renders `n_rays / n_devices` rays and gradients are `pmean`-reduced over
     ICI before the (replicated) optimizer update.
     """
-    train_settings = settings._replace(train=True)
+    train_settings = settings._replace(train=True, field_impl=field_impl)
 
     if mesh is None:
 

@@ -1,0 +1,97 @@
+"""Tests for the fused custom-VJP training field (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nerf_workspaces_explorer_tpu.ops.pallas_train as pallas_train
+from nerf_workspaces_explorer_tpu.models import (
+    NerfMLPSpec,
+    apply_nerf_mlp,
+    init_nerf_params,
+)
+from nerf_workspaces_explorer_tpu.models.encoding import positional_encoding
+from nerf_workspaces_explorer_tpu.ops.pallas_train import make_field_train_fn
+
+SPEC = NerfMLPSpec(depth=4, width=64, input_ch=39, input_ch_views=15)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_nerf_params(jax.random.PRNGKey(0), SPEC)
+    pts = jax.random.normal(jax.random.PRNGKey(1), (256, 3)) * 2.0
+    vd = jax.random.normal(jax.random.PRNGKey(2), (256, 3))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+    field = make_field_train_fn(SPEC, row_tile=128, interpret=True)
+    return params, pts, vd, field
+
+
+def _ref_apply(params, pts, vd):
+    enc = positional_encoding(pts, 6, 10.0)
+    enc_v = positional_encoding(vd, 2, 1.0)
+    return apply_nerf_mlp(params, SPEC, enc, enc_v)
+
+
+def test_forward_matches_reference(setup):
+    params, pts, vd, field = setup
+    raw_k = np.asarray(field(params, pts, vd))
+    raw_r = np.asarray(_ref_apply(params, pts, vd))
+    np.testing.assert_allclose(raw_k, raw_r, atol=5e-3)  # bf16 weights
+
+
+def test_gradients_match_reference(setup):
+    params, pts, vd, field = setup
+    tgt = jax.random.normal(jax.random.PRNGKey(3), (256, 4))
+
+    g_kernel = jax.grad(lambda p: jnp.mean((field(p, pts, vd) - tgt) ** 2))(params)
+    g_ref = jax.grad(lambda p: jnp.mean((_ref_apply(p, pts, vd) - tgt) ** 2))(params)
+
+    for (path_a, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_kernel)[0],
+        jax.tree_util.tree_flatten_with_path(g_ref)[0],
+    ):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-8))
+        # bf16 forward recompute + bf16 grad products bound the error.
+        assert rel < 0.08, (jax.tree_util.keystr(path_a), rel)
+
+
+def test_zero_cotangents_for_inputs(setup):
+    params, pts, vd, field = setup
+    d_pts = jax.grad(lambda x: jnp.sum(field(params, x, vd)))(pts)
+    np.testing.assert_allclose(np.asarray(d_pts), 0.0)
+
+
+def test_train_step_with_pallas_field_converges():
+    from nerf_workspaces_explorer_tpu.rays import create_rays
+    from nerf_workspaces_explorer_tpu.render import RenderSettings
+    from nerf_workspaces_explorer_tpu.train import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    # Interpret-mode kernels on CPU.
+    orig = pallas_train.make_field_train_fn
+    pallas_train.make_field_train_fn = lambda spec, **kw: orig(
+        spec, row_tile=256, interpret=True
+    )
+    try:
+        settings = RenderSettings(
+            n_samples=8, n_importance=8, num_freqs_3d=6, num_freqs_2d=2,
+            raw_noise_std=1.0,
+        )
+        opt = make_optimizer(1e-3)
+        state = init_train_state(jax.random.PRNGKey(0), SPEC, opt)
+        rays = create_rays(jnp.stack([jnp.eye(4)]), 8, 8, 4.0, 4.0, 3.5, 3.5, 0.5, 4.0)
+        rgbs = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 3))
+        step = make_train_step(settings, SPEC, opt, n_rays=64, field_impl="pallas")
+        key = jax.random.PRNGKey(2)
+        losses = []
+        for i in range(40):
+            state, metrics = step(state, rays, rgbs, key)
+            losses.append(float(metrics["total_loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+    finally:
+        pallas_train.make_field_train_fn = orig
