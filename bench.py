@@ -72,6 +72,7 @@ def main() -> None:
     # Training throughput at the shipped office config (1024 rays/step,
     # 64+128 samples, full 8x256 coarse+fine with backward + Adam).
     train_steps_per_sec = _bench_train_step()
+    train_steps_per_sec_fused = _bench_train_step(field_impl="pallas")
 
     print(
         json.dumps(
@@ -82,6 +83,7 @@ def main() -> None:
                 "vs_baseline": round(TARGET_MS / ms_per_frame, 4),
                 "rays_per_sec_per_chip": round(rays_per_sec / n_chips),
                 "train_steps_per_sec": round(train_steps_per_sec, 2),
+                "train_steps_per_sec_fused": round(train_steps_per_sec_fused, 2),
                 "n_chips": n_chips,
                 "samples_per_ray": 64 + 128,
                 "device": str(jax.devices()[0].device_kind),
@@ -90,7 +92,7 @@ def main() -> None:
     )
 
 
-def _bench_train_step(n_steps: int = 30) -> float:
+def _bench_train_step(n_steps: int = 30, field_impl: str = "xla") -> float:
     import jax.numpy as jnp
 
     from nerf_workspaces_explorer_tpu.models import NerfMLPSpec
@@ -109,7 +111,7 @@ def _bench_train_step(n_steps: int = 30) -> float:
     poses = jnp.stack([jnp.eye(4)] * 4)
     rays = create_rays(poses, 240, 320, 160.0, 160.0, 159.5, 119.5, 0.1, 10.0)
     rgbs = jax.random.uniform(jax.random.PRNGKey(1), (4, 240 * 320, 3))
-    step = make_train_step(settings, spec, optimizer, n_rays=1024)
+    step = make_train_step(settings, spec, optimizer, n_rays=1024, field_impl=field_impl)
     key = jax.random.PRNGKey(2)
     state, metrics = step(state, rays, rgbs, key)  # compile
     float(metrics["total_loss"])
