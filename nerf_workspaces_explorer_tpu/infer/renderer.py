@@ -154,50 +154,50 @@ class NeRFRenderer:
         self._build_render_fn()
 
     def _build_render_fn(self) -> None:
+        self._render_jit = jax.jit(
+            lambda params, c2w: self._render_c2w_batch(params, c2w[None])[0]
+        )
+
+    def _render_c2w_batch(self, params: Dict[str, Any], c2ws: jnp.ndarray) -> jnp.ndarray:
+        """Traceable pose-batch -> frames body shared by the single-frame and
+        batched jits. Dispatch: fused Pallas kernel (TPU production path),
+        mesh-sharded rays, or the chunked jnp pipeline."""
         cfg = self._config
         h, w = cfg.experiment.image_height, cfg.experiment.image_width
         near, far = cfg.rendering.depth_range
-        settings = self._settings
-        spec = self._spec
-        chunk = self._chunk
-        use_pallas = self._use_pallas
-        mesh = self._mesh
         matmul_precision = "highest" if self._precision == "parity" else "default"
 
-        def render_frame(params: Dict[str, Any], c2w: jnp.ndarray) -> jnp.ndarray:
-            with jax.default_matmul_precision(matmul_precision):
-                rays = create_rays(
-                    c2w[None], h, w, cfg.fx, cfg.fy, cfg.cx, cfg.cy, near, far
-                ).reshape(h * w)
-                if use_pallas:
-                    # The fused kernel manages its own precision: fp32 ray
-                    # math and encoding phases, bf16 MXU matmuls.
-                    from nerf_workspaces_explorer_tpu.ops.pallas_render import (
-                        render_rays_fused,
-                    )
+        with jax.default_matmul_precision(matmul_precision):
+            n = c2ws.shape[0]
+            rays = create_rays(
+                c2ws, h, w, cfg.fx, cfg.fy, cfg.cx, cfg.cy, near, far
+            ).reshape(n * h * w)
+            if self._use_pallas:
+                # The fused kernel manages its own precision: fp32 ray math
+                # and encoding phases, bf16 MXU matmuls.
+                from nerf_workspaces_explorer_tpu.ops.pallas_render import (
+                    render_rays_fused,
+                )
 
-                    rgb = render_rays_fused(params, rays, settings, spec=spec)
-                elif mesh is not None:
+                rgb = render_rays_fused(params, rays, self._settings, spec=self._spec)
+            else:
+                if self._precision == "fast":
+                    rays = jax.tree.map(lambda x: x.astype(jnp.bfloat16), rays)
+                if self._mesh is not None:
                     from nerf_workspaces_explorer_tpu.parallel.sharding import (
                         shard_render,
                     )
 
-                    if self._precision == "fast":
-                        rays = jax.tree.map(lambda x: x.astype(jnp.bfloat16), rays)
                     out = shard_render(
-                        params, rays, settings, mesh, spec=spec, chunk=chunk
+                        params, rays, self._settings, self._mesh,
+                        spec=self._spec, chunk=self._chunk,
                     )
-                    rgb = out.get("rgb_fine", out.get("rgb_coarse"))
                 else:
-                    if self._precision == "fast":
-                        rays = jax.tree.map(lambda x: x.astype(jnp.bfloat16), rays)
                     out = render_rays_chunked(
-                        params, rays, settings, spec=spec, chunk=chunk
+                        params, rays, self._settings, spec=self._spec, chunk=self._chunk
                     )
-                    rgb = out.get("rgb_fine", out.get("rgb_coarse"))
-                return rgb.astype(jnp.float32).reshape(h, w, 3)
-
-        self._render_jit = jax.jit(render_frame)
+                rgb = out.get("rgb_fine", out.get("rgb_coarse"))
+            return rgb.astype(jnp.float32).reshape(n, h, w, 3)
 
     def render_pose(self, c2w: np.ndarray) -> jax.Array:
         """Render one camera pose; returns a device array [H, W, 3] float32
@@ -243,34 +243,4 @@ class NeRFRenderer:
         return np.concatenate(outputs, axis=0)
 
     def _build_batch_render_fn(self) -> None:
-        cfg = self._config
-        h, w = cfg.experiment.image_height, cfg.experiment.image_width
-        near, far = cfg.rendering.depth_range
-        settings = self._settings
-        spec = self._spec
-        chunk = self._chunk
-        use_pallas = self._use_pallas
-        matmul_precision = "highest" if self._precision == "parity" else "default"
-
-        def render_batch(params: Dict[str, Any], c2ws: jnp.ndarray) -> jnp.ndarray:
-            with jax.default_matmul_precision(matmul_precision):
-                n = c2ws.shape[0]
-                rays = create_rays(
-                    c2ws, h, w, cfg.fx, cfg.fy, cfg.cx, cfg.cy, near, far
-                ).reshape(n * h * w)
-                if use_pallas:
-                    from nerf_workspaces_explorer_tpu.ops.pallas_render import (
-                        render_rays_fused,
-                    )
-
-                    rgb = render_rays_fused(params, rays, settings, spec=spec)
-                else:
-                    if self._precision == "fast":
-                        rays = jax.tree.map(lambda x: x.astype(jnp.bfloat16), rays)
-                    out = render_rays_chunked(
-                        params, rays, settings, spec=spec, chunk=chunk
-                    )
-                    rgb = out.get("rgb_fine", out.get("rgb_coarse"))
-                return rgb.astype(jnp.float32).reshape(n, h, w, 3)
-
-        self._render_batch_jit = jax.jit(render_batch)
+        self._render_batch_jit = jax.jit(self._render_c2w_batch)
