@@ -117,6 +117,14 @@ def main(argv=None) -> None:
         duration = time.time() - step_start
         print(f"Finished step: {i + 1}/{num_iterations} --> Step duration: {duration} sec")
 
+    # Export the reference's nine SVG training curves (SURVEY component 22).
+    try:
+        written = trainer.export_results()
+        if written:
+            print(f"Exported {len(written)} result curves to {os.path.dirname(written[0])}")
+    except Exception as exc:  # results export must never fail a run
+        print(f"(results export skipped: {exc})")
+
     if args.export_final:
         final_dir = os.path.join("final_models", office)
         os.makedirs(final_dir, exist_ok=True)

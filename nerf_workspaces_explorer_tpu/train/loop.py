@@ -285,6 +285,11 @@ class Trainer:
             )
             self._tb.write_histogram(global_step, metrics["trans_coarse"], "trans_coarse")
             self._tb.write_histogram(global_step, metrics["trans_fine"], "trans_fine")
+            # Per-phase wall-clock (framework extension; SURVEY §5 tracing).
+            for phase, mean_s in self.timer.summary().items():
+                self._tb.write_scalars(
+                    global_step, [mean_s * 1000.0], [f"Perf/{phase}_ms"]
+                )
 
         if log.step_render_train > 0 and global_step % log.step_render_train == 0 and global_step > 0:
             self.render_train_images(global_step)
