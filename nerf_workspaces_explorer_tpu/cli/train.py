@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
         "(~2x steps/s on TPU; bf16 gradients)",
     )
     parser.add_argument(
+        "--proposal", action="store_true",
+        help="replace the coarse 8x256 net with a tiny proposal density net "
+        "trained via the mip-NeRF-360 interlevel loss (extension; faster "
+        "rendering and training, changes sample placement vs the reference)",
+    )
+    parser.add_argument(
         "--nan-debug", action="store_true",
         help="raise on the first NaN inside jitted code (slow; the analog of "
         "the reference's global anomaly detection)",
@@ -91,6 +97,7 @@ def main(argv=None) -> None:
         seed=args.seed,
         save_dir=args.save_dir,
         field_impl="pallas" if args.fused_field else "xla",
+        use_proposal=args.proposal,
     )
     trainer.setup()
 

@@ -88,6 +88,7 @@ class NeRFRenderer:
         chunk: Optional[int] = None,
         use_pallas: Optional[bool] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
+        use_proposal: bool = False,
     ) -> None:
         self._office_name = office_name
         self._ckpt_path = ckpt_path
@@ -105,6 +106,8 @@ class NeRFRenderer:
 
         self._spec = spec_from_config(self._config)
         self._settings = settings_from_config(self._config).for_eval()
+        if use_proposal:
+            self._settings = self._settings._replace(use_proposal=True)
         self._params: Optional[Dict[str, Any]] = None
         self._render_jit = None
         self._render_batch_jit = None
@@ -127,16 +130,30 @@ class NeRFRenderer:
         if self._ckpt_path is not None and os.path.exists(self._ckpt_path):
             if self._ckpt_path.endswith(".ckpt"):
                 coarse, fine, _ = load_torch_checkpoint(self._ckpt_path)
+                self._params = {"coarse": coarse, "fine": fine}
             else:
+                # Native checkpoints carry their net keys verbatim (coarse/
+                # fine, or proposal/fine for proposal-mode models).
                 params, _, _, _ = load_checkpoint(self._ckpt_path)
-                coarse, fine = params["coarse"], params["fine"]
-            self._params = {"coarse": coarse, "fine": fine}
+                self._params = params
         elif allow_random_init:
             k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
-            self._params = {
-                "coarse": init_nerf_params(k1, self._spec),
-                "fine": init_nerf_params(k2, self._spec),
-            }
+            if self._settings.use_proposal:
+                from nerf_workspaces_explorer_tpu.render.proposal import (
+                    proposal_spec,
+                )
+
+                self._params = {
+                    "proposal": init_nerf_params(
+                        k1, proposal_spec(self._settings.proposal_num_freqs)
+                    ),
+                    "fine": init_nerf_params(k2, self._spec),
+                }
+            else:
+                self._params = {
+                    "coarse": init_nerf_params(k1, self._spec),
+                    "fine": init_nerf_params(k2, self._spec),
+                }
         else:
             raise RuntimeError(
                 f"Checkpoint path: {self._ckpt_path} for model cannot be found!"

@@ -619,7 +619,14 @@ def render_rays_fused(
     Returns rgb [R, 3] (or FusedRenderOutputs when full=True).
     """
     eval_settings = settings.for_eval()
-    kp_coarse = prepare_kernel_params(params["coarse"], spec)
+    if eval_settings.use_proposal:
+        from nerf_workspaces_explorer_tpu.render.proposal import proposal_spec
+
+        kp_coarse = prepare_kernel_params(
+            params["proposal"], proposal_spec(eval_settings.proposal_num_freqs)
+        )
+    else:
+        kp_coarse = prepare_kernel_params(params["coarse"], spec)
     kp_fine = prepare_kernel_params(params["fine"], spec)
 
     origins = rays.origins.astype(jnp.float32)
@@ -628,16 +635,20 @@ def render_rays_fused(
     near = rays.near.astype(jnp.float32)
     far = rays.far.astype(jnp.float32)
 
-    o_ph, d_ph = ray_phase_vectors(origins, dirs, kp_coarse.pts_freqs)
-    venc = encode_viewdirs_kernel_order(viewdirs, num_freqs=kp_coarse.view_freqs)
+    o_ph_c, d_ph_c = ray_phase_vectors(origins, dirs, kp_coarse.pts_freqs)
+    if kp_fine.pts_freqs == kp_coarse.pts_freqs:
+        o_ph_f, d_ph_f = o_ph_c, d_ph_c
+    else:
+        o_ph_f, d_ph_f = ray_phase_vectors(origins, dirs, kp_fine.pts_freqs)
+    venc = encode_viewdirs_kernel_order(viewdirs, num_freqs=kp_fine.view_freqs)
     dir_norm = jnp.linalg.norm(dirs, axis=-1)[None, :]  # [1, R]
 
     # Coarse: density-only -> per-sample weights.
     z_coarse = coarse_z_vals(near, far, eval_settings.n_samples).T  # [S, R]
     weights_t = nerf_render_pallas(
         kp_coarse,
-        o_ph,
-        d_ph,
+        o_ph_c,
+        d_ph_c,
         z_coarse,
         _dists_from_z(z_coarse, dir_norm),
         density_only=True,
@@ -657,8 +668,8 @@ def render_rays_fused(
 
     maps = nerf_render_pallas(
         kp_fine,
-        o_ph,
-        d_ph,
+        o_ph_f,
+        d_ph_f,
         z_fine,
         _dists_from_z(z_fine, dir_norm),
         venc,

@@ -57,6 +57,11 @@ class RenderSettings(NamedTuple):
     # Field (encode+MLP) implementation: "xla" (reference path, default) or
     # "pallas" (fused custom-VJP kernels — the training fast path).
     field_impl: str = "xla"
+    # Proposal-network sampling (extension, see render/proposal.py): replace
+    # the coarse 8x256 pass with a tiny density-only net. Off by default —
+    # changes sample placement relative to the reference.
+    use_proposal: bool = False
+    proposal_num_freqs: int = 6
 
     @property
     def deterministic_importance(self) -> bool:
@@ -156,7 +161,21 @@ def render_ray_bundle(
     pts_coarse = (
         rays.origins[..., None, :] + rays.dirs[..., None, :] * z_vals[..., :, None]
     )  # [R, S, 3]
-    raw_coarse = _eval_network(params["coarse"], spec, pts_coarse, viewdirs, settings)
+    if settings.use_proposal:
+        # Extension: tiny density-only proposal net instead of the coarse
+        # 8x256 network (render/proposal.py). Its rgb logits are meaningless
+        # and its sigma drives the importance weights.
+        from nerf_workspaces_explorer_tpu.render.proposal import proposal_spec
+
+        prop_spec = proposal_spec(settings.proposal_num_freqs)
+        prop_settings = settings._replace(
+            num_freqs_3d=settings.proposal_num_freqs, num_freqs_2d=2
+        )
+        raw_coarse = _eval_network(
+            params["proposal"], prop_spec, pts_coarse, viewdirs, prop_settings
+        )
+    else:
+        raw_coarse = _eval_network(params["coarse"], spec, pts_coarse, viewdirs, settings)
     out_coarse = composite_rays(
         raw_coarse,
         z_vals,
@@ -209,6 +228,7 @@ def render_ray_bundle(
         if full_outputs:
             outputs["raw_fine"] = raw_fine
             outputs["weights_fine"] = out_fine.weights
+            outputs["z_vals_fine"] = z_fine
             outputs["z_std"] = jnp.std(z_samples, axis=-1)
             if settings.endpoint_feat:
                 outputs["feat_map_fine"] = out_fine.feature
@@ -221,6 +241,7 @@ def render_ray_bundle(
         if full_outputs:
             outputs["raw_coarse"] = raw_coarse
             outputs["weights_coarse"] = out_coarse.weights
+            outputs["z_vals_coarse"] = z_vals
 
     return outputs
 

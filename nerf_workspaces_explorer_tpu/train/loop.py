@@ -75,6 +75,7 @@ class Trainer:
         enable_tensorboard: bool = True,
         use_pallas: Optional[bool] = None,
         field_impl: str = "xla",
+        use_proposal: bool = False,
     ) -> None:
         self._office_name = office_name
         self._config = config if config is not None else load_config(office_name=office_name)
@@ -94,6 +95,8 @@ class Trainer:
         cfg = self._config
         self._spec = spec_from_config(cfg)
         self._settings = settings_from_config(cfg, train=True)
+        if use_proposal:
+            self._settings = self._settings._replace(use_proposal=True)
 
         self._tb = (
             TensorboardWriter(
@@ -198,8 +201,14 @@ class Trainer:
             cfg.training.learning_rate_decay_rate,
             cfg.training.learning_rate_decay_steps,
         )
+        prop_spec = None
+        if self._settings.use_proposal:
+            from nerf_workspaces_explorer_tpu.render.proposal import proposal_spec
+
+            prop_spec = proposal_spec(self._settings.proposal_num_freqs)
         self._state = init_train_state(
-            jax.random.fold_in(self._base_key, 17), self._spec, self._optimizer
+            jax.random.fold_in(self._base_key, 17), self._spec, self._optimizer,
+            proposal_spec=prop_spec,
         )
         self._train_step = make_train_step(
             self._settings,

@@ -66,12 +66,17 @@ def init_train_state(
     key: jax.Array,
     spec: NerfMLPSpec,
     optimizer: optax.GradientTransformation,
+    *,
+    proposal_spec: Optional[NerfMLPSpec] = None,
 ) -> TrainState:
+    """With `proposal_spec`, the coarse net is replaced by a tiny proposal
+    density net (render/proposal.py extension)."""
     k_coarse, k_fine = jax.random.split(key)
-    params = {
-        "coarse": init_nerf_params(k_coarse, spec),
-        "fine": init_nerf_params(k_fine, spec),
-    }
+    params = {"fine": init_nerf_params(k_fine, spec)}
+    if proposal_spec is not None:
+        params["proposal"] = init_nerf_params(k_coarse, proposal_spec)
+    else:
+        params["coarse"] = init_nerf_params(k_coarse, spec)
     return TrainState(
         params=params,
         opt_state=optimizer.init(params),
@@ -114,14 +119,28 @@ def _loss_and_metrics(
     out = render_ray_bundle(
         params, sampled_rays, settings, spec=spec, key=render_key, full_outputs=True
     )
-    rgb_loss_coarse = img2mse(out["rgb_coarse"], gt)
     rgb_loss_fine = img2mse(out["rgb_fine"], gt)
+    if settings.use_proposal:
+        # Proposal mode: the coarse level has no color; its loss is the
+        # interlevel histogram bound (render/proposal.py).
+        from nerf_workspaces_explorer_tpu.render.proposal import interlevel_loss
+
+        rgb_loss_coarse = interlevel_loss(
+            out["z_vals_coarse"],
+            out["weights_coarse"],
+            out["z_vals_fine"],
+            out["weights_fine"],
+        )
+        psnr_coarse = jnp.zeros(())  # no coarse rgb to score
+    else:
+        rgb_loss_coarse = img2mse(out["rgb_coarse"], gt)
+        psnr_coarse = mse2psnr(jax.lax.stop_gradient(rgb_loss_coarse))
     total_loss = rgb_loss_coarse + rgb_loss_fine
     metrics = {
         "rgb_loss_coarse": rgb_loss_coarse,
         "rgb_loss_fine": rgb_loss_fine,
         "total_loss": total_loss,
-        "psnr_coarse": mse2psnr(jax.lax.stop_gradient(rgb_loss_coarse)),
+        "psnr_coarse": psnr_coarse,
         "psnr_fine": mse2psnr(jax.lax.stop_gradient(rgb_loss_fine)),
         # Sigma histograms for TensorBoard (reference :383-388).
         "trans_coarse": jax.lax.stop_gradient(out["raw_coarse"][..., 3]),
