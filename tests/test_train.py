@@ -217,3 +217,28 @@ def test_obs_debug_scan():
     assert scan_outputs_finite(bad) == ["a"]
     with pytest.raises(FloatingPointError):
         scan_outputs_finite(bad, raise_on_error=True)
+
+
+def test_trainer_with_mesh_dp(tmp_path):
+    """Trainer end-to-end on the 8-device CPU mesh (data-parallel)."""
+    from jax.sharding import Mesh
+
+    from nerf_workspaces_explorer_tpu.data import make_synthetic_scene
+
+    cfg = small_config()
+    train, test, _ = make_synthetic_scene(n_train=2, n_test=1, height=16, width=16)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+    trainer = Trainer(
+        "office_mesh",
+        cfg,
+        train_data=train,
+        test_data=test,
+        save_dir=str(tmp_path),
+        enable_tensorboard=False,
+        mesh=mesh,
+        use_pallas=False,
+    )
+    trainer.setup()
+    losses = [float(trainer.step(i)["total_loss"]) for i in range(5)]
+    assert np.isfinite(losses).all()
+    assert int(trainer.state.step) == 5
