@@ -84,8 +84,10 @@ def main(argv=None) -> None:
         from nerf_workspaces_explorer_tpu.data import make_synthetic_scene
 
         size = args.synthetic_size
+        near, far = config.rendering.depth_range
         train_data, test_data, _ = make_synthetic_scene(
-            n_train=8, n_test=2, height=size * 3 // 4, width=size, seed=args.seed
+            n_train=8, n_test=2, height=size * 3 // 4, width=size,
+            seed=args.seed, near=near, far=far,
         )
 
     trainer = Trainer(

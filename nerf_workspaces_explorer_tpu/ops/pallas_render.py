@@ -467,11 +467,19 @@ def nerf_render_pallas(
 
     # 4 samples per grid step when the count divides: the zd slab's 8
     # sublanes hold (z0,d0,..,z3,d3) exactly (no padding waste) and per-step
-    # fixed costs amortize 4x.
+    # fixed costs amortize 4x. (8 also works — 16-sublane slabs — but
+    # doubles kernel code size for a marginal win; see ROADMAP.)
     if samples_per_step is None:
-        samples_per_step = 4 if n_samples % 4 == 0 else 1
+        # The density-only body is small enough that 8-sample groups compile
+        # fast and amortize fixed costs further (~8% on the coarse pass);
+        # the full body stays at 4 to bound kernel code size.
+        preferred = 8 if density_only else 4
+        samples_per_step = preferred if n_samples % preferred == 0 else (
+            4 if n_samples % 4 == 0 else 1
+        )
     assert n_samples % samples_per_step == 0
     n_groups = n_samples // samples_per_step
+    zd_rows = max(8, 2 * samples_per_step)
 
     o_ph = _pad_rays_axis(o_ph, padded)
     d_ph = _pad_rays_axis(d_ph, padded)
@@ -479,8 +487,8 @@ def nerf_render_pallas(
     z_g = _pad_rays_axis(z_vals, padded).reshape(n_groups, samples_per_step, padded)
     d_g = _pad_rays_axis(dists, padded).reshape(n_groups, samples_per_step, padded)
     zd = jnp.stack([z_g, d_g], axis=2).reshape(n_groups, 2 * samples_per_step, padded)
-    if 2 * samples_per_step < 8:
-        zd = jnp.pad(zd, ((0, 0), (0, 8 - 2 * samples_per_step), (0, 0)))
+    if 2 * samples_per_step < zd_rows:
+        zd = jnp.pad(zd, ((0, 0), (0, zd_rows - 2 * samples_per_step), (0, 0)))
     if venc is None:
         venc = jnp.zeros((_enc_dim(kparams.view_freqs), padded), dtype=compute_dtype)
     else:
@@ -507,10 +515,11 @@ def nerf_render_pallas(
         w_alpha = kparams.w_fa[width : width + 8]
         b_alpha = wide(kparams.b_fa[width : width + 8])
         weights += [w_alpha, b_alpha]
-        out_shape = jax.ShapeDtypeStruct((n_groups, 8, padded), jnp.float32)
-        # One [1, 8, tile] weights slab per group (sublane k = sample k).
+        out_rows = max(8, samples_per_step)
+        out_shape = jax.ShapeDtypeStruct((n_groups, out_rows, padded), jnp.float32)
+        # One [1, out_rows, tile] weights slab per group (sublane k = sample k).
         out_spec = pl.BlockSpec(
-            (1, 8, ray_tile), lambda i, s: (s, 0, i), memory_space=pltpu.VMEM
+            (1, out_rows, ray_tile), lambda i, s: (s, 0, i), memory_space=pltpu.VMEM
         )
     else:
         weights += [
@@ -564,8 +573,9 @@ def nerf_render_pallas(
             per_ray_spec(o_ph.shape[0]),
             per_ray_spec(d_ph.shape[0]),
             pl.BlockSpec(
-                (1, 8, ray_tile), lambda i, s: (s, 0, i), memory_space=pltpu.VMEM
-            ),  # per-sample z/dist slab
+                (1, zd_rows, ray_tile), lambda i, s: (s, 0, i),
+                memory_space=pltpu.VMEM,
+            ),  # per-group z/dist slab
             per_ray_spec(venc.shape[0]),
         ]
         + weight_specs,
