@@ -470,12 +470,11 @@ def nerf_render_pallas(
     # fixed costs amortize 4x. (8 also works — 16-sublane slabs — but
     # doubles kernel code size for a marginal win; see ROADMAP.)
     if samples_per_step is None:
-        # The density-only body is small enough that 8-sample groups compile
-        # fast and amortize fixed costs further (~8% on the coarse pass);
-        # the full body stays at 4 to bound kernel code size.
-        preferred = 8 if density_only else 4
-        samples_per_step = preferred if n_samples % preferred == 0 else (
-            4 if n_samples % 4 == 0 else 1
+        # 8-sample groups amortize per-step fixed costs best (coarse pass
+        # 168->154 ms, fine pass 635->540 ms at 640x480) and still compile in
+        # ~20 s; fall back to 4 or 1 when the sample count doesn't divide.
+        samples_per_step = next(
+            (k for k in (8, 4, 2, 1) if n_samples % k == 0)
         )
     assert n_samples % samples_per_step == 0
     n_groups = n_samples // samples_per_step
