@@ -65,7 +65,7 @@ PTS_ENC_DIM = 64
 VIEW_FREQS = 4
 VIEW_ENC_DIM = 32
 
-DEFAULT_RAY_TILE = 2048
+DEFAULT_RAY_TILE = 4096
 
 
 def _round_up(x: int, m: int) -> int:
