@@ -1,0 +1,54 @@
+"""Tests for the headless render CLI and batched pose rendering."""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+
+def test_render_cli_single_frame_coarse_only(tmp_path, monkeypatch):
+    """BASELINE config 1: low-res coarse-only render, CPU-runnable."""
+    monkeypatch.chdir(tmp_path)
+    from nerf_workspaces_explorer_tpu.cli.render import main as render_main
+
+    render_main([
+        "--office", "tokyo", "--random-init", "--coarse-only",
+        "--width", "32", "--height", "24",
+        "--rel-x", "0.3", "--rel-y", "0.6", "--hangle", "30",
+        "--out", str(tmp_path / "out"),
+    ])
+    files = os.listdir(tmp_path / "out")
+    assert len(files) == 1 and files[0].endswith(".png")
+
+
+def test_render_poses_grouping():
+    """render_poses pads pose groups to a fixed batch (no recompiles) and
+    returns exactly the requested frames."""
+    from nerf_workspaces_explorer_tpu.core.config import (
+        ExperimentConfig,
+        FrameworkConfig,
+        RenderingConfig,
+    )
+    from nerf_workspaces_explorer_tpu.infer.renderer import NeRFRenderer
+
+    cfg = FrameworkConfig(
+        experiment=ExperimentConfig(image_width=16, image_height=8),
+        rendering=RenderingConfig(n_samples=4, n_importance=4,
+                                  num_freqs_3d=6, num_freqs_2d=2),
+    )
+    renderer = NeRFRenderer("office_tokyo", None, config=cfg, use_pallas=False)
+    renderer.initialize_models(allow_random_init=True)
+
+    calls = []
+    renderer._build_batch_render_fn()
+    wrapped = renderer._render_batch_jit
+    renderer._render_batch_jit = lambda p, c: (calls.append(c.shape[0]), wrapped(p, c))[1]
+
+    poses = [np.eye(4, dtype=np.float32) for _ in range(3)]
+    frames = renderer.render_poses(poses)
+    assert frames.shape == (3, 8, 16, 3)
+    assert np.all(np.isfinite(frames))
+    # Every launch used the same padded batch size -> one compiled shape.
+    assert len(set(calls)) == 1
