@@ -61,6 +61,29 @@ def test_shard_render_under_jit(params):
     assert np.all(np.isfinite(np.asarray(out["rgb_fine"])))
 
 
+def test_graft_entry_provisions_cpu_devices():
+    """`__graft_entry__._provision_devices` must self-provision an n-device
+    virtual CPU platform before first backend touch, even when the
+    environment exports a single-chip platform (round-1 driver failure)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # unknown platform -> must force CPU
+    env.pop("XLA_FLAGS", None)
+    code = (
+        "import __graft_entry__ as g; g._provision_devices(4); import jax; "
+        "ds = jax.devices(); assert len(ds) >= 4, ds; "
+        "assert ds[0].platform == 'cpu', ds"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd="/root/repo",
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+
+
 def test_shard_render_fused_kernel_interpret(params):
     """The production multi-chip path: fused Pallas kernel per ray shard
     (interpret mode on the CPU mesh)."""
