@@ -34,7 +34,9 @@ def _label_pixels(text: str) -> np.ndarray:
         "T": ["1111", "0100", "0100", "0100", "0100"],
         "V": ["1001", "1001", "1001", "0110", "0110"],
         "W": ["1001", "1001", "1011", "1101", "1001"],
+        "X": ["1001", "1001", "0110", "1001", "1001"],
         "Y": ["1001", "0110", "0100", "0100", "0100"],
+        "Z": ["1111", "0001", "0110", "1000", "1111"],
         " ": ["0000", "0000", "0000", "0000", "0000"],
     }
     rows = []
@@ -84,14 +86,59 @@ def make_thumbnail(name: str, seed: int, height: int = 300, width: int = 400) ->
     return img
 
 
+def make_coordinate_systems_plan(
+    name: str, height: int = 600, width: int = 600
+) -> np.ndarray:
+    """Placeholder for the reference's per-office
+    `floor_plan_coordinate_systems.jpg` (SURVEY.md component 20): the floor
+    plan annotated with the world-frame axes the click-to-COORD calibration
+    uses — X axis arrow down the plan, Z axis arrow across (the relative
+    click coordinates map onto the x'/z' extents; app/workspace.py)."""
+    img = make_floor_plan(name, height, width)
+    ox, oy = 40, height - 40  # axes origin: bottom-left inside the walls
+    # Z axis: horizontal arrow.
+    img[oy - 2 : oy + 2, ox : width - 60] = (180, 30, 30)
+    img[oy - 8 : oy + 8, width - 68 : width - 60] = (180, 30, 30)
+    # X axis: vertical arrow (up the plan).
+    img[60:oy, ox - 2 : ox + 2] = (30, 30, 180)
+    img[52:60, ox - 8 : ox + 8] = (30, 30, 180)
+    for label, (ly, lx) in (("Z", (oy - 30, width - 58)), ("X", (30, ox + 14))):
+        glyph = np.kron(_label_pixels(label), np.ones((4, 4), dtype=np.uint8))
+        region = img[ly : ly + glyph.shape[0], lx : lx + glyph.shape[1]]
+        region[glyph[: region.shape[0], : region.shape[1]] > 0] = 30
+    return img
+
+
+def ensure_mapping_file(assets_dir: str) -> str:
+    """Write the office <-> Replica scene mapping file in the reference's
+    format (application/workspaces/mapping.txt:1-6); the mapping itself
+    lives in data/replica.py as the loader's single source of truth."""
+    from nerf_workspaces_explorer_tpu.data.replica import OFFICE_TO_REPLICA_SCENE
+
+    path = os.path.join(assets_dir, "mapping.txt")
+    if not os.path.exists(path):
+        os.makedirs(assets_dir, exist_ok=True)
+        lines = ["Replica -> NeRF-Workspaces-Explorer", "-" * 35]
+        lines += [
+            f"{scene} -> {office}"
+            for office, scene in OFFICE_TO_REPLICA_SCENE.items()
+        ]
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return path
+
+
 def ensure_assets(workspace) -> dict:
-    """Return {'thumbnail': path, 'floor_plan': path}, generating placeholders
-    under the workspace folder when real assets are missing."""
+    """Return paths for 'thumbnail', 'floor_plan', and
+    'floor_plan_coordinate_systems', generating placeholders under the
+    workspace folder when real assets are missing."""
     folder = workspace.folder_path
     os.makedirs(folder, exist_ok=True)
     paths = {}
     thumb = os.path.join(folder, "thumbnail.jpg")
     plan = os.path.join(folder, "floor_plan.jpg")
+    coords = os.path.join(folder, "floor_plan_coordinate_systems.jpg")
+    h, w = workspace.floor_plan_scale
     if not os.path.exists(thumb):
         thumb = os.path.join(folder, "thumbnail.png")
         if not os.path.exists(thumb):
@@ -99,10 +146,15 @@ def ensure_assets(workspace) -> dict:
     if not os.path.exists(plan):
         plan = os.path.join(folder, "floor_plan.png")
         if not os.path.exists(plan):
-            h, w = workspace.floor_plan_scale
             _write(plan, make_floor_plan(workspace.name, h, w))
+    if not os.path.exists(coords):
+        coords = os.path.join(folder, "floor_plan_coordinate_systems.png")
+        if not os.path.exists(coords):
+            _write(coords, make_coordinate_systems_plan(workspace.name, h, w))
+    ensure_mapping_file(os.path.dirname(folder))
     paths["thumbnail"] = thumb
     paths["floor_plan"] = plan
+    paths["floor_plan_coordinate_systems"] = coords
     return paths
 
 

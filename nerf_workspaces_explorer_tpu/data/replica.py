@@ -30,6 +30,38 @@ import numpy as np
 
 DATASETS_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "replica_dataset")
 
+# Office <-> Replica scene name mapping (reference
+# application/workspaces/mapping.txt:3-6). A real Replica download drops
+# directories named office0..office4; the loader accepts either naming.
+OFFICE_TO_REPLICA_SCENE = {
+    "office_tokyo": "office0",
+    "office_new_york": "office1",
+    "office_geneve": "office2",
+    "office_belgrade": "office4",
+}
+REPLICA_SCENE_TO_OFFICE = {v: k for k, v in OFFICE_TO_REPLICA_SCENE.items()}
+
+
+def resolve_scene_dir(office_name: str, datasets_path: str = DATASETS_PATH) -> str:
+    """Resolve an office's `Sequence_1` directory, accepting both the
+    framework naming (`office_tokyo`) and the raw Replica scene naming
+    (`office0`) per the reference's mapping.txt."""
+    candidates = [office_name]
+    mapped = OFFICE_TO_REPLICA_SCENE.get(office_name)
+    if mapped is not None:
+        candidates.append(mapped)
+    mapped_back = REPLICA_SCENE_TO_OFFICE.get(office_name)
+    if mapped_back is not None:
+        candidates.append(mapped_back)
+    for cand in candidates:
+        d = os.path.join(datasets_path, cand, "Sequence_1")
+        if os.path.isdir(d):
+            return d
+    raise FileNotFoundError(
+        f"no Replica sequence for {office_name!r} under {datasets_path!r} "
+        f"(tried {candidates})"
+    )
+
 
 def _imread_rgb(path: str) -> np.ndarray:
     """Load an image as RGB float64 in [0, 1]."""
@@ -113,7 +145,7 @@ class ReplicaDataset:
         train_stride: int = 5,
         test_offset: int = 2,
     ) -> None:
-        self._dataset_dir = os.path.join(datasets_path, office_name, "Sequence_1")
+        self._dataset_dir = resolve_scene_dir(office_name, datasets_path)
         self._img_h = image_height
         self._img_w = image_width
 

@@ -89,8 +89,10 @@ class NeRFRenderer:
         use_pallas: Optional[bool] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
         use_proposal: bool = False,
+        nan_debug: bool = False,
     ) -> None:
         self._office_name = office_name
+        self._nan_debug = nan_debug
         self._ckpt_path = ckpt_path
         self._config = config if config is not None else load_config(office_name=office_name)
         self._precision = precision
@@ -229,8 +231,17 @@ class NeRFRenderer:
         Matches reference render_coordinates (…inference_handler.py:166-185).
         """
         pose = poses_from_coordinates(init_coordinates, [coordinates])[0]
-        rgb = self.render_pose(pose)
-        return to8b(np.asarray(rgb))
+        rgb = np.asarray(self.render_pose(pose))
+        if self._nan_debug:
+            # The reference scans every rendered output dict for NaN/Inf
+            # (…inference_handler.py:273-276); opt-in here because the scan
+            # forces a host sync on the hot path.
+            from nerf_workspaces_explorer_tpu.obs.debug import (
+                scan_outputs_finite,
+            )
+
+            scan_outputs_finite({"rgb_fine": rgb})
+        return to8b(rgb)
 
     def render_poses(self, c2ws: Sequence[np.ndarray]) -> np.ndarray:
         """Render a batch of poses -> float32 [N, H, W, 3] (eval/tour path).

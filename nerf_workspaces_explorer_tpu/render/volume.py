@@ -8,12 +8,13 @@ Parity target: reference nerf/models/model_utils.py:33-100 (`raw2outputs`):
   - rgb/depth/disp/acc maps; optional white background; optional composited
     128-d endpoint feature map.
 
-TPU-native notes: the exclusive cumulative product is computed in log space
-as exp(exclusive-cumsum(log1p(-alpha + eps))) — `jnp.cumsum` lowers to an
-O(log n) associative scan on TPU rather than a serial loop, and the whole
-function fuses into neighbouring kernels. Equivalent up to fp rounding since
-every factor (1 - alpha + 1e-10) is > 0. A direct `jnp.cumprod` variant is
-kept for parity testing.
+TPU-native notes: the exclusive cumulative product uses `jnp.cumprod`,
+which already lowers to an O(log n) associative scan on TPU — no serial
+loop — and fuses into neighbouring kernels. A log-space variant
+(exp(exclusive-cumsum(log))) exists behind `use_logspace=True` for
+reference only: it is NOT gradient-safe (1/x explodes as the factor
+1 - alpha + 1e-10 -> 1e-10 when density saturates, NaN-ing training; see
+`exclusive_cumprod`) and is never used on the training path.
 """
 
 from __future__ import annotations

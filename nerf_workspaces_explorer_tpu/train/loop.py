@@ -127,6 +127,7 @@ class Trainer:
 
         self._state: Optional[TrainState] = None
         self._train_step = None
+        self._eval_render_jits: Dict[Any, Any] = {}
         self._base_key = jax.random.PRNGKey(seed)
 
     # ------------------------------------------------------------------ #
@@ -323,41 +324,77 @@ class Trainer:
     # Eval renders (reference :411-508)
     # ------------------------------------------------------------------ #
 
-    def _render_image_set(self, rays: RayBundle, save_dir: Optional[str]) -> np.ndarray:
-        """Render every image in a precomputed ray set -> [N, H, W, 3]."""
-        h, w = self._img_h_scaled, self._img_w_scaled
+    def _group_render_fn(self, group_rays: int):
+        """One jitted flat-bundle render, cached per ray-count.
+
+        Eval renders batch every image of a group into a SINGLE dispatch
+        (the reference loops per image, …training_handler.py:482-508; a
+        per-image loop here pays ~26 ms dispatch per frame on the axon
+        tunnel and re-traces per call site)."""
+        key = (group_rays, self._use_pallas)
+        cached = self._eval_render_jits.get(key)
+        if cached is not None:
+            return cached
         eval_settings = self._settings.for_eval()
-        images = []
-        for i in range(rays.origins.shape[0]):
-            image_rays = RayBundle(*(f[i] for f in rays))
-            if self._use_pallas:
-                from nerf_workspaces_explorer_tpu.ops.pallas_render import (
-                    render_rays_fused,
+        spec = self._spec
+        chunk = min(self._config.model.chunk, group_rays)
+
+        if self._use_pallas:
+            from nerf_workspaces_explorer_tpu.ops.pallas_render import (
+                render_rays_fused,
+            )
+
+            def render_group(params, flat_rays):
+                return render_rays_fused(
+                    params, flat_rays, eval_settings, spec=spec
                 )
 
-                rgb_flat = render_rays_fused(
-                    self.params, image_rays, eval_settings, spec=self._spec
+        else:
+
+            def render_group(params, flat_rays):
+                out = render_rays_chunked(
+                    params, flat_rays, eval_settings, spec=spec, chunk=chunk
                 )
-                rgb = np.asarray(rgb_flat).reshape(h, w, 3)
-                images.append(rgb)
-                if save_dir is not None:
-                    self._write_png(
-                        os.path.join(save_dir, f"rgb_{i:03d}.png"), to8b(rgb)
-                    )
-                continue
-            out = render_rays_chunked(
-                self.params,
-                image_rays,
-                eval_settings,
-                spec=self._spec,
-                chunk=min(self._config.model.chunk, h * w),
+                return out["rgb_fine"]
+
+        fn = jax.jit(render_group)
+        self._eval_render_jits[key] = fn
+        return fn
+
+    def _render_image_set(self, rays: RayBundle, save_dir: Optional[str]) -> np.ndarray:
+        """Render every image in a precomputed ray set -> [N, H, W, 3].
+
+        Images render in equal-size groups, one jitted dispatch per group
+        (capped at ~1M rays so the fine pass's [S, 8, R] z/dist slabs stay
+        inside HBM); the last group pads with repeats to avoid a recompile.
+        """
+        h, w = self._img_h_scaled, self._img_w_scaled
+        n_img = rays.origins.shape[0]
+        n_pix = h * w
+        per_group = min(n_img, max(1, 1_000_000 // n_pix))
+        fn = self._group_render_fn(per_group * n_pix)
+        images = []
+        for start in range(0, n_img, per_group):
+            group = RayBundle(
+                *(f[start : start + per_group] for f in rays)
             )
-            rgb = np.asarray(out["rgb_fine"]).reshape(h, w, 3)
+            n_group = group.origins.shape[0]
+            if n_group < per_group:  # pad the tail group to the jitted size
+                pad = per_group - n_group
+                group = RayBundle(
+                    *(
+                        jnp.concatenate([f, jnp.repeat(f[-1:], pad, axis=0)])
+                        for f in group
+                    )
+                )
+            rgb = np.asarray(
+                fn(self.params, group.reshape(per_group * n_pix))
+            ).reshape(per_group, h, w, 3)[:n_group]
             images.append(rgb)
-            if save_dir is not None:
-                self._write_png(os.path.join(save_dir, f"rgb_{i:03d}.png"), to8b(rgb))
-        images = np.stack(images, axis=0)
+        images = np.concatenate(images, axis=0)
         if save_dir is not None:
+            for i, rgb in enumerate(images):
+                self._write_png(os.path.join(save_dir, f"rgb_{i:03d}.png"), to8b(rgb))
             self._write_mp4(os.path.join(save_dir, "rgb.mp4"), to8b(images))
         return images
 

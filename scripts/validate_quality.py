@@ -10,6 +10,12 @@ views with the fused Pallas kernel, and reports:
 Run on the TPU:  python scripts/validate_quality.py [--steps 3000]
 (Reference quality context: the reference reaches 23-39 dB test PSNR on the
 four Replica offices after 200k steps — BASELINE.md.)
+
+This script is a GATE: it exits nonzero when test PSNR falls below
+--min-psnr or the fused-vs-jnp SSIM falls below --min-fidelity.
+Measured on the v5e (3000 steps, 96x128 synthetic scene, 2026-08-16):
+test PSNR ~27-29 dB, fused-vs-jnp SSIM > 0.999; thresholds sit below the
+observed run-to-run spread.
 """
 
 import argparse
@@ -28,6 +34,14 @@ def main() -> None:
     parser.add_argument("--height", type=int, default=96)
     parser.add_argument("--width", type=int, default=128)
     parser.add_argument("--out", type=str, default="/tmp/validate_quality")
+    parser.add_argument(
+        "--min-psnr", type=float, default=24.0,
+        help="fail below this mean test PSNR (dB)",
+    )
+    parser.add_argument(
+        "--min-fidelity", type=float, default=0.99,
+        help="fail below this fused-vs-jnp SSIM (BASELINE.md target)",
+    )
     args = parser.parse_args()
 
     from nerf_workspaces_explorer_tpu.core.config import (
@@ -110,7 +124,21 @@ def main() -> None:
     fidelity = ssim(rgb, rgb_jnp)
     print(f"fused vs jnp pipeline on trained weights: "
           f"max|err| {np.abs(rgb - rgb_jnp).max():.2e}, SSIM {fidelity:.5f} "
-          f"(target >= 0.99)")
+          f"(target >= {args.min_fidelity})")
+
+    failures = []
+    if np.mean(psnrs) < args.min_psnr:
+        failures.append(
+            f"test PSNR {np.mean(psnrs):.2f} dB < required {args.min_psnr}"
+        )
+    if fidelity < args.min_fidelity:
+        failures.append(
+            f"fused-vs-jnp SSIM {fidelity:.5f} < required {args.min_fidelity}"
+        )
+    if failures:
+        print("QUALITY GATE FAILED: " + "; ".join(failures))
+        sys.exit(1)
+    print("QUALITY GATE PASSED")
 
 
 if __name__ == "__main__":

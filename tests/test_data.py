@@ -72,6 +72,62 @@ def test_replica_reference_accessors(fake_replica):
     assert "train" in str(ds)
 
 
+def test_replica_scene_name_mapping(fake_replica, tmp_path):
+    """A real Replica drop names directories office0..office4; the loader
+    must resolve the office <-> scene mapping both ways (reference
+    application/workspaces/mapping.txt:3-6)."""
+    import shutil
+
+    from nerf_workspaces_explorer_tpu.data.replica import (
+        OFFICE_TO_REPLICA_SCENE,
+        resolve_scene_dir,
+    )
+
+    root, *_ = fake_replica
+    assert OFFICE_TO_REPLICA_SCENE == {
+        "office_tokyo": "office0",
+        "office_new_york": "office1",
+        "office_geneve": "office2",
+        "office_belgrade": "office4",
+    }
+    # Raw Replica naming on disk, framework office name requested.
+    shutil.copytree(
+        os.path.join(root, "office_test"), os.path.join(root, "office0")
+    )
+    ds = ReplicaDataset("office_tokyo", datasets_path=root)
+    assert len(ds.train) == 3
+    # And the scene name itself resolves too.
+    assert resolve_scene_dir("office0", root).endswith("office0/Sequence_1")
+    # Framework naming on disk wins when both exist.
+    shutil.copytree(
+        os.path.join(root, "office_test"), os.path.join(root, "office_belgrade")
+    )
+    assert resolve_scene_dir("office_belgrade", root).endswith(
+        "office_belgrade/Sequence_1"
+    )
+    with pytest.raises(FileNotFoundError):
+        resolve_scene_dir("office_geneve", root)
+
+
+_REAL_DATA = os.path.join(
+    os.path.dirname(__file__), "..", "replica_dataset"
+)
+
+
+@pytest.mark.skipif(
+    not any(
+        os.path.isdir(os.path.join(_REAL_DATA, d, "Sequence_1"))
+        for d in ("office_tokyo", "office0")
+    ),
+    reason="real Replica data not present in this environment",
+)
+def test_real_replica_integration():
+    ds = ReplicaDataset("office_tokyo", image_height=240, image_width=320)
+    assert ds.train.rgb.shape[1:] == (240, 320, 3)
+    assert ds.train_dataset_len > 0 and ds.test_dataset_len > 0
+    assert np.all(np.isfinite(ds.train.camera_pose))
+
+
 def test_synthetic_scene_generation():
     train, test, scene = make_synthetic_scene(n_train=4, n_test=2, height=16, width=20)
     assert train.rgb.shape == (4, 16, 20, 3)

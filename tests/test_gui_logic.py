@@ -59,6 +59,47 @@ def test_placeholder_assets():
     assert plan.std() > 1.0 and thumb.std() > 1.0
 
 
+def test_coordinate_systems_plan_and_mapping(tmp_path):
+    """Component 20 completeness: the coordinate-systems floor-plan analog
+    (reference application/workspaces/office_*/floor_plan_coordinate_systems.jpg)
+    and the mapping.txt analog (reference
+    application/workspaces/mapping.txt:3-6)."""
+    from nerf_workspaces_explorer_tpu.app.assets import (
+        ensure_assets,
+        ensure_mapping_file,
+        make_coordinate_systems_plan,
+    )
+
+    coords = make_coordinate_systems_plan("Office Tokyo", 600, 600)
+    plain = make_floor_plan("Office Tokyo", 600, 600)
+    assert coords.shape == (600, 600, 3)
+    assert not np.array_equal(coords, plain)  # axes annotations drawn
+
+    path = ensure_mapping_file(str(tmp_path))
+    content = open(path).read()
+    for line in (
+        "office0 -> office_tokyo",
+        "office1 -> office_new_york",
+        "office2 -> office_geneve",
+        "office4 -> office_belgrade",
+    ):
+        assert line in content
+
+    class FakeWorkspace:
+        name = "Office Test"
+        folder_path = str(tmp_path / "workspaces" / "office_test")
+        floor_plan_scale = (120, 120)
+
+    assets = ensure_assets(FakeWorkspace())
+    assert set(assets) == {
+        "thumbnail", "floor_plan", "floor_plan_coordinate_systems",
+    }
+    for p in assets.values():
+        assert p.endswith(".png") and np.asarray(
+            __import__("imageio").imread(p)
+        ).size > 0
+
+
 def test_gui_modules_importable():
     import nerf_workspaces_explorer_tpu.app.gui_tk  # noqa: F401
 
