@@ -93,9 +93,14 @@ class NeRFRenderer:
         use_proposal: bool = False,
         nan_debug: bool = False,
         early_stop_eps: float = 1e-3,
+        sort_rays: bool = False,
     ) -> None:
         self._office_name = office_name
         self._nan_debug = nan_debug
+        # Saturation-ordered fine pass (fused path only): cluster rays by
+        # coarse saturation depth so tile-granular early termination fires
+        # sooner. Exact up to eps (per-ray independence).
+        self._sort_rays = sort_rays
         # Fused-kernel early ray termination: samples past transmittance
         # < eps are skipped; the committed rgb error is bounded by eps
         # (1e-3 < half a uint8 step; measured SSIM-identical to 1e-4 on
@@ -232,6 +237,7 @@ class NeRFRenderer:
                 rgb = render_rays_fused(
                     params, rays, self._settings, spec=self._spec,
                     quant=self._quant, early_stop_eps=self._early_stop_eps,
+                    sort_rays=self._sort_rays,
                 )
             else:
                 if self._precision == "fast":

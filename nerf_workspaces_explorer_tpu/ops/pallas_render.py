@@ -37,6 +37,7 @@ feature heads fuse into one [384, 256] matmul.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -153,6 +154,15 @@ class KernelParams(NamedTuple):
     shift_layers: tuple = ()  # int8 mode: per-layer requant shift (ints)
     skip_shift: tuple = ()  # int8 mode: per-skip scale-match shift (ints)
     feat_qscale: Optional[float] = None  # int8 mode: encoding quant scale
+    # int8-HEAD mode (shift_layers non-empty AND int8_heads): the fa/view/rgb
+    # head matmuls are int8 too; only the [1, R] sigma and [8, R] rgb
+    # epilogues touch fp32. All statics below bake into the compile.
+    int8_heads: bool = False
+    k_feat: int = 0  # feature-head requant shift (signed clip)
+    k_hv: int = 0  # view-layer requant shift (relu clip)
+    s_alpha: float = 1.0  # sigma int32-acc -> fp32 scale
+    inv_s_view: float = 1.0  # 1 / view-acc scale (hv_enc int32 conversion)
+    s_rgb: float = 1.0  # rgb int32-acc -> fp32 scale
 
 
 def prepare_kernel_params(
@@ -183,6 +193,7 @@ def prepare_kernel_params(
     feat_qscale = None
     a_last = 1.0  # last trunk layer's real scale, folded into the heads
     h_unit = None  # running activation quant unit
+    int8_heads = bool(quant is not None and getattr(quant, "int8_heads", False))
     if quant is not None:
         feat_qscale = 127.0 / quant.feat_max
 
@@ -219,8 +230,6 @@ def prepare_kernel_params(
         # Rounding rides for free as a +2^(k-1) offset inside b_i32; the
         # 0-clip IS the relu. The last layer's real scale folds into the
         # bf16 head weights instead (zero per-sample cost).
-        import math
-
         feat_unit = quant.feat_max / 127.0
         in_unit = feat_unit if i == 0 else h_unit
         w_unit = quant.w_max[i] / 127.0
@@ -234,8 +243,12 @@ def prepare_kernel_params(
             skip_unit = raw / (2.0**j) / feat_unit
             skip_shift.append(j)
             w_skip_enc.append(quantize_w(w_skip_t, skip_unit))
-        if i < n_layers - 1:
-            target = quant.h_max[i] / 127.0
+        if i < n_layers - 1 or int8_heads:
+            # int8-head mode also requantizes the FINAL trunk activation to
+            # int8 so the fa head matmul runs int8 x int8 on the MXU.
+            target = (
+                quant.h_max[i] if i < n_layers - 1 else quant.h_last_max
+            ) / 127.0
             k = max(0, math.ceil(math.log2(target / raw)))
             h_unit = raw * (2.0**k)
             shift_layers.append(k)
@@ -255,8 +268,10 @@ def prepare_kernel_params(
         .at[width : width + 1]
         .set(params["alpha"]["w"].astype(jnp.float32).T)
     )
-    # int8 mode: the trunk's final activations arrive UNscaled (integer
-    # domain); absorb their real scale into the head weights for free.
+    # int8 trunk-only mode: the trunk's final activations arrive UNscaled
+    # (integer domain); absorb their real scale into the head weights for
+    # free. (In int8-head mode a_last stays 1.0 — the scale chain continues
+    # through the quantized heads instead.)
     w_fa = w_fa * a_last
     b_fa = jnp.zeros((fa_rows, 1), dtype=jnp.float32)
     b_fa = (
@@ -276,18 +291,63 @@ def prepare_kernel_params(
     b_rgb = jnp.zeros((8, 1), dtype=jnp.float32)
     b_rgb = b_rgb.at[:3, 0].set(params["rgb"]["b"].astype(jnp.float32))
 
+    k_feat = k_hv = 0
+    s_alpha = inv_s_view = s_rgb = 1.0
+    if int8_heads:
+        # Continue the power-of-2 scale chain through the heads: every head
+        # matmul is int8 x int8 -> int32; requantizations are integer
+        # shift+clip; only sigma ([1, R]) and rgb ([8, R]) dequantize to
+        # fp32, and the per-ray view-encoding contribution converts to the
+        # view accumulator's integer domain ONCE per tile (kernel g==0).
+        u_feat_w = quant.w_feat_max / 127.0
+        u_alpha_w = quant.w_alpha_max / 127.0
+        s_feat_acc = u_feat_w * h_unit  # h_unit = final trunk activation unit
+        s_alpha = u_alpha_w * h_unit
+        w_fa_q = jnp.zeros((fa_rows, width), dtype=jnp.int8)
+        w_fa_q = w_fa_q.at[:width].set(quantize_w(w_fa[:width], u_feat_w))
+        w_fa_q = w_fa_q.at[width : width + 1].set(
+            quantize_w(w_fa[width : width + 1], u_alpha_w)
+        )
+        w_fa = w_fa_q
+        # Feature head output is SIGNED: requant clips to [-127, 127].
+        k_feat = max(
+            0, math.ceil(math.log2((quant.feature_max / 127.0) / s_feat_acc))
+        )
+        feat_unit = s_feat_acc * (2.0**k_feat)
+        b_fa_q = jnp.zeros((fa_rows, 1), dtype=jnp.int32)
+        b_feat_q = jnp.round(b_fa[:width] / s_feat_acc).astype(jnp.int32)
+        if k_feat > 0:
+            b_feat_q = b_feat_q + (1 << (k_feat - 1))
+        b_fa_q = b_fa_q.at[:width].set(b_feat_q)
+        b_fa_q = b_fa_q.at[width : width + 1].set(
+            jnp.round(b_fa[width : width + 1] / s_alpha).astype(jnp.int32)
+        )
+        b_fa = b_fa_q
+
+        u_vh_w = quant.w_view_h_max / 127.0
+        s_view_acc = u_vh_w * feat_unit
+        inv_s_view = 1.0 / s_view_acc
+        w_view_h = quantize_w(w_view_h, u_vh_w)
+        k_hv = max(0, math.ceil(math.log2((quant.hv_max / 127.0) / s_view_acc)))
+        hv_unit = s_view_acc * (2.0**k_hv)
+
+        u_rgb_w = quant.w_rgb_max / 127.0
+        w_rgb = quantize_w(w_rgb, u_rgb_w)
+        s_rgb = u_rgb_w * hv_unit
+
     cast = lambda x: x.astype(dtype)
     trunk_cast = (lambda x: x) if quant is not None else cast  # int8 stays
+    head_cast = (lambda x: x) if int8_heads else cast  # int8 stays
     return KernelParams(
         w_layers=tuple(trunk_cast(w) for w in w_layers),
         w_skip_enc=tuple(trunk_cast(w) for w in w_skip_enc),
         b_layers=tuple(b_layers),
-        w_fa=cast(w_fa),
+        w_fa=head_cast(w_fa),
         b_fa=b_fa,
-        w_view_h=cast(w_view_h),
+        w_view_h=head_cast(w_view_h),
         w_view_enc=cast(w_view_enc),
         b_view=b_view,
-        w_rgb=cast(w_rgb),
+        w_rgb=head_cast(w_rgb),
         b_rgb=b_rgb,
         skips=tuple(spec.skips),
         width=width,
@@ -296,6 +356,12 @@ def prepare_kernel_params(
         shift_layers=tuple(shift_layers),
         skip_shift=tuple(skip_shift),
         feat_qscale=feat_qscale,
+        int8_heads=int8_heads,
+        k_feat=k_feat,
+        k_hv=k_hv,
+        s_alpha=s_alpha,
+        inv_s_view=inv_s_view,
+        s_rgb=s_rgb,
     )
 
 
@@ -351,7 +417,7 @@ def _encode_step(o_ph, d_ph, z_row, num_freqs, compute_dtype, qscale=None):
 
 def _trunk(
     feat, w_layers, w_skip_enc, b_layers, skips, compute_dtype,
-    shift_layers=(), skip_shift=(),
+    shift_layers=(), skip_shift=(), int8_out=False,
 ):
     """Density trunk: [64, R] features -> [256, R] activations.
 
@@ -384,7 +450,7 @@ def _trunk(
                 )
                 skip_i += 1
             pre = acc + b_layers[i]
-            if i < n - 1:
+            if i < n - 1 or int8_out:
                 h = jnp.clip(pre >> shift_layers[i], 0, 127).astype(jnp.int8)
             else:
                 h = jnp.maximum(pre, 0).astype(compute_dtype)
@@ -421,6 +487,12 @@ def _render_kernel(
     shift_layers: tuple = (),
     skip_shift: tuple = (),
     feat_qscale=None,
+    int8_heads: bool = False,
+    k_feat: int = 0,
+    k_hv: int = 0,
+    s_alpha: float = 1.0,
+    inv_s_view: float = 1.0,
+    s_rgb: float = 1.0,
 ):
     """One (ray tile, sample group) grid step: evaluate the field at
     `samples_per_step` depth slices of a ray tile and fold them into the
@@ -470,9 +542,17 @@ def _render_kernel(
         if not density_only:
             # View encoding contribution is per-ray: compute once per tile.
             venc = venc_ref[:].astype(compute_dtype)
-            hv_enc_ref[:] = jnp.dot(
-                w_view_enc, venc, preferred_element_type=jnp.float32
-            )
+            enc = jnp.dot(w_view_enc, venc, preferred_element_type=jnp.float32)
+            if int8_heads:
+                # Convert to the view accumulator's integer domain (with the
+                # view bias and the hv requant rounding offset folded in) so
+                # the per-sample epilogue stays integer-only.
+                q = jnp.round((enc + b_view) * inv_s_view).astype(jnp.int32)
+                if k_hv > 0:
+                    q = q + (1 << (k_hv - 1))
+                hv_enc_ref[:] = q
+            else:
+                hv_enc_ref[:] = enc
 
     # Early ray termination (framework extension, NerfAcc-style): once every
     # ray in the tile has transmittance below eps, remaining samples cannot
@@ -506,10 +586,21 @@ def _render_kernel(
                 )
                 h = _trunk(
                     feat, w_layers, w_skip_enc, b_layers, skips,
-                    compute_dtype, shift_layers, skip_shift,
+                    compute_dtype, shift_layers, skip_shift, int8_heads,
                 )
-                sigma = jnp.dot(w_alpha, h, preferred_element_type=jnp.float32) + b_alpha
-                alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma[:1]) * dist_row)
+                if int8_heads:
+                    sig = (
+                        jnp.dot(w_alpha, h, preferred_element_type=jnp.int32)
+                        + b_alpha
+                    )
+                    sigma1 = sig[:1].astype(jnp.float32) * s_alpha
+                else:
+                    sig = (
+                        jnp.dot(w_alpha, h, preferred_element_type=jnp.float32)
+                        + b_alpha
+                    )
+                    sigma1 = sig[:1]
+                alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma1) * dist_row)
                 out_ref[0, k : k + 1, :] = alpha * trans
                 trans = trans * (1.0 - alpha + 1e-10)
             acc_ref[5:6, :] = trans
@@ -534,18 +625,38 @@ def _render_kernel(
             )
             h = _trunk(
                 feat, w_layers, w_skip_enc, b_layers, skips,
-                compute_dtype, shift_layers, skip_shift,
+                compute_dtype, shift_layers, skip_shift, int8_heads,
             )
-            fa = jnp.dot(w_fa, h, preferred_element_type=jnp.float32) + b_fa
-            feature = fa[:width].astype(compute_dtype)
-            sigma = fa[width : width + 1]
-            hv = jax.nn.relu(
-                jnp.dot(w_view_h, feature, preferred_element_type=jnp.float32)
-                + hv_enc
-                + b_view
-            ).astype(compute_dtype)
-            rgb = jnp.dot(w_rgb, hv, preferred_element_type=jnp.float32) + b_rgb
-            rgb = jax.nn.sigmoid(rgb[:3])
+            if int8_heads:
+                # Fully-int8 head pipeline: fa/view/rgb matmuls are int8 on
+                # the MXU; requants are shift+clip; only sigma [1, R] and
+                # rgb [3, R] dequantize to fp32.
+                fa = jnp.dot(w_fa, h, preferred_element_type=jnp.int32) + b_fa
+                feature = jnp.clip(fa[:width] >> k_feat, -127, 127).astype(
+                    jnp.int8
+                )
+                sigma = fa[width : width + 1].astype(jnp.float32) * s_alpha
+                acc_v = jnp.dot(
+                    w_view_h, feature, preferred_element_type=jnp.int32
+                )
+                hv = jnp.clip((acc_v + hv_enc) >> k_hv, 0, 127).astype(
+                    jnp.int8
+                )
+                rgb_i = jnp.dot(w_rgb, hv, preferred_element_type=jnp.int32)
+                rgb = jax.nn.sigmoid(
+                    rgb_i[:3].astype(jnp.float32) * s_rgb + b_rgb[:3]
+                )
+            else:
+                fa = jnp.dot(w_fa, h, preferred_element_type=jnp.float32) + b_fa
+                feature = fa[:width].astype(compute_dtype)
+                sigma = fa[width : width + 1]
+                hv = jax.nn.relu(
+                    jnp.dot(w_view_h, feature, preferred_element_type=jnp.float32)
+                    + hv_enc
+                    + b_view
+                ).astype(compute_dtype)
+                rgb = jnp.dot(w_rgb, hv, preferred_element_type=jnp.float32) + b_rgb
+                rgb = jax.nn.sigmoid(rgb[:3])
 
             alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dist_row)  # [1, R]
             weight = alpha * trans
@@ -670,7 +781,14 @@ def nerf_render_pallas(
         out_spec = pl.BlockSpec(
             (8, ray_tile), lambda i, s: (0, i), memory_space=pltpu.VMEM
         )
-        scratch.append(pltpu.VMEM((width // 2, ray_tile), jnp.float32))  # hv_enc
+        # hv_enc per-ray scratch: fp32 accumulator domain (bf16 heads) or
+        # int32 view-accumulator domain (int8 heads).
+        scratch.append(
+            pltpu.VMEM(
+                (width // 2, ray_tile),
+                jnp.int32 if kparams.int8_heads else jnp.float32,
+            )
+        )
 
     def per_ray_spec(rows):
         return pl.BlockSpec(
@@ -697,6 +815,12 @@ def nerf_render_pallas(
         shift_layers=kparams.shift_layers,
         skip_shift=kparams.skip_shift,
         feat_qscale=kparams.feat_qscale,
+        int8_heads=kparams.int8_heads,
+        k_feat=kparams.k_feat,
+        k_hv=kparams.k_hv,
+        s_alpha=kparams.s_alpha,
+        inv_s_view=kparams.inv_s_view,
+        s_rgb=kparams.s_rgb,
     )
 
     def kernel_entry(*args):
@@ -756,6 +880,7 @@ def render_rays_fused(
     full: bool = False,
     early_stop_eps: float = 1e-4,
     quant: Optional[Dict[str, Any]] = None,
+    sort_rays: bool = False,
 ):
     """Coarse+fine inference through the fused kernel.
 
@@ -776,7 +901,9 @@ def render_rays_fused(
         from nerf_workspaces_explorer_tpu.render.proposal import proposal_spec
 
         kp_coarse = prepare_kernel_params(
-            params["proposal"], proposal_spec(eval_settings.proposal_num_freqs)
+            params["proposal"],
+            proposal_spec(eval_settings.proposal_num_freqs),
+            quant=quant.get("proposal"),
         )
     else:
         kp_coarse = prepare_kernel_params(
@@ -812,14 +939,57 @@ def render_rays_fused(
         interpret=interpret,
     )
 
-    # Importance sampling in XLA (tiny: [R, 63] weights).
-    weights = weights_t.T
-    z_c = z_coarse.T
-    z_mid = 0.5 * (z_c[..., 1:] + z_c[..., :-1])
-    z_samples = sample_pdf(
-        z_mid, weights[..., 1:-1], eval_settings.n_importance, deterministic=True
+    # Importance sampling + depth merge in one Pallas pass (ops/
+    # pallas_sampling.py): the XLA sample_pdf + sort costs ~75 ms/frame at
+    # 640x480 (memory-bound), the fused kernel ~a tenth of that. weights
+    # is still needed in [R, S] orientation for the optional ray sort.
+    from nerf_workspaces_explorer_tpu.ops.pallas_sampling import (
+        importance_merge_pallas,
     )
-    z_fine = merge_sorted_z(z_c, jax.lax.stop_gradient(z_samples)).T  # [S+I, R]
+
+    weights = weights_t.T
+    n_rays = weights_t.shape[1]
+    imp_tile = next(
+        (tl for tl in (512, 256, 128) if n_rays % tl == 0), None
+    )
+    if imp_tile is not None:
+        z_fine = importance_merge_pallas(
+            weights_t,
+            z_coarse,
+            eval_settings.n_importance,
+            ray_tile=imp_tile,
+            interpret=interpret,
+        )
+    else:
+        # XLA fallback for ray counts not divisible by a lane tile.
+        z_c = z_coarse.T
+        z_mid = 0.5 * (z_c[..., 1:] + z_c[..., :-1])
+        z_samples = sample_pdf(
+            z_mid, weights[..., 1:-1], eval_settings.n_importance,
+            deterministic=True,
+        )
+        z_fine = merge_sorted_z(z_c, jax.lax.stop_gradient(z_samples)).T
+
+    inv_perm = None
+    if sort_rays and early_stop_eps > 0.0:
+        # Saturation-ordered fine pass: early termination is tile-granular
+        # (a 4096-ray tile runs until its SLOWEST ray saturates), so sort
+        # rays by the coarse saturation index — the sample where cumulative
+        # opacity crosses 1 - eps — to make tiles homogeneous. The fine
+        # pass is per-ray independent, so permuting is exact; outputs are
+        # unsorted by the inverse permutation. Cost: one [rows, R] column
+        # gather per kernel operand (HBM-bandwidth, ~ms at frame scale).
+        csum = jnp.cumsum(weights, axis=-1)  # [R, S]
+        sat = jnp.argmax(csum > 1.0 - early_stop_eps, axis=-1)
+        never = csum[:, -1] <= 1.0 - early_stop_eps
+        key = jnp.where(never, weights.shape[-1], sat)
+        perm = jnp.argsort(key)
+        inv_perm = jnp.argsort(perm)
+        z_fine = z_fine[:, perm]
+        o_ph_f = o_ph_f[:, perm]
+        d_ph_f = d_ph_f[:, perm]
+        venc = venc[:, perm]
+        dir_norm = dir_norm[:, perm]
 
     maps = nerf_render_pallas(
         kp_fine,
@@ -832,6 +1002,8 @@ def render_rays_fused(
         early_stop_eps=early_stop_eps,
         interpret=interpret,
     )
+    if inv_perm is not None:
+        maps = maps[:, inv_perm]
     rgb = maps[0:3].T
     if eval_settings.white_background:
         rgb = rgb + (1.0 - maps[4:5].T)

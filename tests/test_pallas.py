@@ -161,7 +161,7 @@ def test_int8_trunk_matches_fp32_pipeline(params):
 
     settings = RenderSettings(n_samples=16, n_importance=16)
     rays = create_rays(jnp.eye(4)[None], 8, 16, 8.0, 8.0, 7.5, 3.5, 0.5, 4.0).reshape(128)
-    quant = calibrate_model_quant(params, SPEC, box=4.0)
+    quant = calibrate_model_quant(params, SPEC, box=4.0, heads=False)
     assert set(quant) == {"coarse", "fine"}
     assert len(quant["fine"].h_max) == SPEC.depth - 1
     assert len(quant["fine"].w_max) == SPEC.depth
@@ -185,13 +185,82 @@ def test_int8_trunk_matches_fp32_pipeline(params):
 def test_int8_quant_scales_are_static_floats(params):
     from nerf_workspaces_explorer_tpu.ops.quantize import calibrate_trunk
 
-    q = calibrate_trunk(params["fine"], SPEC)
+    q = calibrate_trunk(params["fine"], SPEC, heads=False)
     assert isinstance(q.feat_max, float)
     assert all(isinstance(v, float) for v in q.h_max + q.w_max + q.skip_w_max)
+    assert not q.int8_heads
     kp = prepare_kernel_params(params["fine"], SPEC, quant=q)
     assert all(w.dtype == jnp.int8 for w in kp.w_layers)
     assert all(w.dtype == jnp.int8 for w in kp.w_skip_enc)
     assert all(b.dtype == jnp.int32 for b in kp.b_layers)
-    assert kp.w_fa.dtype == jnp.bfloat16  # heads stay bf16
+    assert kp.w_fa.dtype == jnp.bfloat16  # trunk-only mode: heads stay bf16
     assert len(kp.shift_layers) == SPEC.depth
     assert all(isinstance(s, int) and s >= 0 for s in kp.shift_layers)
+
+
+def test_int8_head_params_and_statics(params):
+    """Full-int8 serving (the heads=True default): head weights quantize to
+    int8, head biases to int32, and every requant constant is a static
+    Python number (so it bakes into the kernel compile)."""
+    from nerf_workspaces_explorer_tpu.ops.quantize import calibrate_trunk
+
+    q = calibrate_trunk(params["fine"], SPEC)
+    assert q.int8_heads
+    for v in (q.h_last_max, q.feature_max, q.hv_max, q.w_feat_max,
+              q.w_alpha_max, q.w_view_h_max, q.w_rgb_max):
+        assert isinstance(v, float) and v > 0.0
+    kp = prepare_kernel_params(params["fine"], SPEC, quant=q)
+    assert kp.int8_heads
+    assert kp.w_fa.dtype == jnp.int8
+    assert kp.b_fa.dtype == jnp.int32
+    assert kp.w_view_h.dtype == jnp.int8
+    assert kp.w_rgb.dtype == jnp.int8
+    assert kp.w_view_enc.dtype == jnp.bfloat16  # per-ray, stays bf16
+    assert kp.b_view.dtype == jnp.float32
+    assert kp.b_rgb.dtype == jnp.float32
+    assert isinstance(kp.k_feat, int) and isinstance(kp.k_hv, int)
+    for s in (kp.s_alpha, kp.inv_s_view, kp.s_rgb):
+        assert isinstance(s, float) and s > 0.0
+    # The trunk's LAST layer now requantizes to int8 too (for the fa dot).
+    assert len(kp.shift_layers) == SPEC.depth
+
+
+def test_int8_full_pipeline_matches_fp32(params):
+    """End-to-end int8 (trunk + heads) vs the fp32 jnp pipeline: the error
+    budget is the same visually-lossless bar as the trunk-only mode (the
+    bench config additionally gates SSIM >= 0.99 on trained scenes)."""
+    from nerf_workspaces_explorer_tpu.ops.quantize import calibrate_model_quant
+
+    settings = RenderSettings(n_samples=16, n_importance=16)
+    rays = create_rays(jnp.eye(4)[None], 8, 16, 8.0, 8.0, 7.5, 3.5, 0.5, 4.0).reshape(128)
+    quant = calibrate_model_quant(params, SPEC, box=4.0)
+    assert all(q.int8_heads for q in quant.values())
+    rgb_q = np.asarray(render_rays_fused(
+        params, rays, settings, spec=SPEC, ray_tile=128, interpret=True,
+        quant=quant,
+    ))
+    ref = render_ray_bundle(
+        params, rays, settings.for_eval(), spec=SPEC, full_outputs=False
+    )
+    rgb_ref = np.asarray(ref["rgb_fine"])
+    assert rgb_q.shape == (128, 3) and np.all(np.isfinite(rgb_q))
+    err = np.abs(rgb_q - rgb_ref)
+    assert err.mean() < 4e-3, err.mean()
+    assert err.max() < 4e-2, err.max()
+
+
+def test_sorted_ray_fused_render_is_exact(params):
+    """sort_rays permutes the fine pass by coarse saturation depth and
+    inverse-permutes the outputs — results must be bit-identical to the
+    unsorted fused render (per-ray independence)."""
+    settings = RenderSettings(n_samples=16, n_importance=16)
+    rays = create_rays(jnp.eye(4)[None], 8, 16, 8.0, 8.0, 7.5, 3.5, 0.5, 4.0).reshape(128)
+    base = np.asarray(render_rays_fused(
+        params, rays, settings, spec=SPEC, ray_tile=128, interpret=True,
+        early_stop_eps=1e-3,
+    ))
+    srt = np.asarray(render_rays_fused(
+        params, rays, settings, spec=SPEC, ray_tile=128, interpret=True,
+        early_stop_eps=1e-3, sort_rays=True,
+    ))
+    np.testing.assert_array_equal(srt, base)

@@ -164,3 +164,50 @@ def test_proposal_fused_render_matches_jnp():
     )
     ref = render_ray_bundle(params, rays, settings.for_eval(), spec=spec, full_outputs=False)
     np.testing.assert_allclose(rgb_fused, np.asarray(ref["rgb_fine"]), atol=5e-3)
+
+
+def test_proposal_int8_fused_render_matches_jnp():
+    """precision='int8' with proposal mode: calibrate_model_quant must walk
+    the 2x64 proposal net with a spec inferred from its own shapes (the
+    flagship spec would shape-mismatch), and the fused int8 render must stay
+    visually indistinguishable from the fp32 jnp pipeline."""
+    from nerf_workspaces_explorer_tpu.models import NerfMLPSpec, init_nerf_params
+    from nerf_workspaces_explorer_tpu.ops.pallas_render import render_rays_fused
+    from nerf_workspaces_explorer_tpu.ops.quantize import (
+        calibrate_model_quant,
+        spec_from_net_params,
+    )
+    from nerf_workspaces_explorer_tpu.rays import create_rays
+    from nerf_workspaces_explorer_tpu.render import RenderSettings, render_ray_bundle
+
+    spec = NerfMLPSpec(depth=4, width=64, input_ch=39, input_ch_views=15)
+    settings = RenderSettings(
+        n_samples=16, n_importance=16, num_freqs_3d=6, num_freqs_2d=2,
+        use_proposal=True, proposal_num_freqs=6,
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    params = {
+        "proposal": init_nerf_params(k1, proposal_spec(6)),
+        "fine": init_nerf_params(k2, spec),
+    }
+    for p in params.values():
+        p["alpha"]["b"] = p["alpha"]["b"] + 1.5
+    # The test spec's default skips=(4,) is vacuous at depth=4, so shape
+    # inference correctly recovers skips=() — equal everywhere else.
+    assert spec_from_net_params(params["fine"]) == spec._replace(skips=())
+    assert spec_from_net_params(params["proposal"]) == proposal_spec(6)
+    assert spec_from_net_params(init_nerf_params(k1, NerfMLPSpec())) == NerfMLPSpec()
+    quant = calibrate_model_quant(params, spec, box=4.0)
+    assert set(quant) == {"proposal", "fine"}
+    rays = create_rays(jnp.eye(4)[None], 8, 16, 8.0, 8.0, 7.5, 3.5, 0.5, 4.0).reshape(128)
+    rgb_q = np.asarray(
+        render_rays_fused(
+            params, rays, settings, spec=spec, ray_tile=128, interpret=True,
+            quant=quant,
+        )
+    )
+    ref = render_ray_bundle(params, rays, settings.for_eval(), spec=spec, full_outputs=False)
+    err = np.abs(rgb_q - np.asarray(ref["rgb_fine"]))
+    assert np.all(np.isfinite(rgb_q))
+    assert err.mean() < 4e-3, err.mean()
+    assert err.max() < 4e-2, err.max()
