@@ -2,11 +2,15 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Primary metric (per BASELINE.json): ms/frame at 640x480 for the shipped
-office configuration (8x256 coarse+fine MLP, 64 coarse + 128 importance
-samples/ray -> ~5.9M ray-samples/frame). The reference publishes no latency
-numbers (BASELINE.md), so vs_baseline is reported against the north-star
-target of 100 ms/frame (BASELINE.json: v4-8); values > 1.0 beat the target.
+Primary metric (per BASELINE.json): ms/frame at 640x480 for the serving
+configuration: 8x256 fine MLP at 64 coarse + 128 importance samples/ray
+(192 fine samples -> ~5.9M fine ray-samples/frame, identical to the
+reference's), with the coarse density pass served by the 2x64 proposal net
+(render/proposal.py) and every per-sample matmul in int8 — both
+quality-gated by scripts/validate_quality.py --proposal. The reference
+publishes no latency numbers (BASELINE.md), so vs_baseline is reported
+against the north-star target of 100 ms/frame (BASELINE.json: v4-8);
+values > 1.0 beat the target.
 """
 
 from __future__ import annotations
@@ -38,21 +42,27 @@ def main() -> None:
         experiment=ExperimentConfig(image_width=WIDTH, image_height=HEIGHT)
     )
     use_pallas = jax.devices()[0].platform != "cpu"
-    # int8 serving mode: int8 MLP trunk on the MXU (2x bf16 throughput;
-    # ops/quantize.py). Quality-gated: fused-int8 vs fp32-jnp SSIM >= 0.99
-    # on trained scenes (scripts/validate_quality.py), measured 0.9986 with
-    # a 0.1 dB PSNR delta.
+    # Serving configuration (both legs quality-gated on trained scenes by
+    # scripts/validate_quality.py --proposal):
+    #  - int8 mode: every per-sample matmul (trunk + heads) runs int8 on
+    #    the MXU at 2x bf16 throughput (ops/quantize.py); fused-int8 vs
+    #    fp32-jnp SSIM >= 0.99 measured.
+    #  - proposal coarse pass: the 2x64 density-only proposal net replaces
+    #    the 8x256 coarse network for importance sampling
+    #    (render/proposal.py); fine pass unchanged at 64+128=192 samples.
     precision = "int8" if use_pallas else "fast"
     renderer = NeRFRenderer(
         "office_tokyo", None, config=config, precision=precision,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, use_proposal=True,
     )
     # Random params with boosted density so the workload composites real
     # content (pretrained checkpoints are not in this environment).
+    from nerf_workspaces_explorer_tpu.render.proposal import proposal_spec
+
     spec = NerfMLPSpec()
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     params = {
-        "coarse": init_nerf_params(k1, spec),
+        "proposal": init_nerf_params(k1, proposal_spec()),
         "fine": init_nerf_params(k2, spec),
     }
     for p in params.values():
@@ -94,6 +104,7 @@ def main() -> None:
                 "train_steps_per_sec_fused": round(train_steps_per_sec_fused, 2),
                 "n_chips": n_chips,
                 "samples_per_ray": 64 + 128,
+                "coarse_net": "proposal-2x64",
                 "precision": precision,
                 "device": str(jax.devices()[0].device_kind),
             }

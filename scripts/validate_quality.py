@@ -5,14 +5,20 @@ Trains a NeRF on a synthetic scene at the shipped office configuration
 views with the fused Pallas kernel, and reports:
   - test PSNR/SSIM vs ground truth (training quality),
   - SSIM between the fused-kernel render and the jnp reference pipeline on
-    the same trained weights (the BASELINE.md >= 99% SSIM fidelity target).
+    the same trained weights (the BASELINE.md >= 99% SSIM fidelity target),
+  - the same two checks for the int8 serving mode (trunk + heads).
 
-Run on the TPU:  python scripts/validate_quality.py [--steps 3000]
+With --proposal a second model trains in proposal mode (2x64 density net
+guiding importance sampling, render/proposal.py) and must hold the same
+fidelity bars PLUS test PSNR within --max-psnr-drop of the hierarchical
+run — the gate that justifies serving/benchmarking with the proposal
+coarse pass.
+
+Run on the TPU:  python scripts/validate_quality.py [--steps 3000] [--proposal]
 (Reference quality context: the reference reaches 23-39 dB test PSNR on the
 four Replica offices after 200k steps — BASELINE.md.)
 
-This script is a GATE: it exits nonzero when test PSNR falls below
---min-psnr or the fused-vs-jnp SSIM falls below --min-fidelity.
+This script is a GATE: it exits nonzero when any threshold fails.
 Measured on the v5e (3000 steps, 96x128 synthetic scene, 2026-08-16):
 test PSNR ~27-29 dB, fused-vs-jnp SSIM > 0.999; thresholds sit below the
 observed run-to-run spread.
@@ -26,6 +32,91 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
+
+
+def run_leg(name, use_proposal, train, test, cfg, args):
+    """Train one model and measure quality + fused/int8 fidelity."""
+    from nerf_workspaces_explorer_tpu.ops.pallas_render import render_rays_fused
+    from nerf_workspaces_explorer_tpu.ops.quantize import calibrate_model_quant
+    from nerf_workspaces_explorer_tpu.rays.raygen import RayBundle
+    from nerf_workspaces_explorer_tpu.render import render_rays_chunked
+    from nerf_workspaces_explorer_tpu.train import Trainer
+    from nerf_workspaces_explorer_tpu.utils.metrics import ssim, to8b
+
+    h, w = args.height, args.width
+    trainer = Trainer(
+        f"office_synth_validation_{name}",
+        cfg,
+        train_data=train,
+        test_data=test,
+        save_dir=os.path.join(args.out, f"run_{name}"),
+        enable_tensorboard=False,
+        use_proposal=use_proposal,
+    )
+    trainer.setup()
+
+    start = time.time()
+    for i in range(args.steps):
+        metrics = trainer.step(i)
+        if i % 500 == 0:
+            print(
+                f"[{name}] step {i}: loss {float(metrics['total_loss']):.5f} "
+                f"psnr_fine {float(metrics['psnr_fine']):.2f}",
+                flush=True,
+            )
+    train_time = time.time() - start
+    print(f"[{name}] trained {args.steps} steps in {train_time:.0f}s "
+          f"({args.steps / train_time:.1f} steps/s)")
+
+    eval_settings = trainer._settings.for_eval()
+    psnrs, ssims = [], []
+    rgb = gt = image_rays = None
+    for i in range(len(test)):
+        image_rays = RayBundle(*(f[i] for f in trainer.rays_test))
+        rgb = np.asarray(
+            render_rays_fused(
+                trainer.params, image_rays, eval_settings, spec=trainer._spec
+            )
+        ).reshape(h, w, 3)
+        gt = test.rgb[i]
+        mse = float(np.mean((rgb - gt) ** 2))
+        psnrs.append(-10 * np.log10(mse))
+        ssims.append(ssim(rgb, gt))
+    psnr = float(np.mean(psnrs))
+    print(f"[{name}] TEST fused-kernel renders: PSNR {psnr:.2f} dB, "
+          f"SSIM {np.mean(ssims):.4f}")
+
+    try:
+        import imageio
+
+        imageio.imwrite(os.path.join(args.out, f"render_{name}.png"), to8b(rgb))
+        imageio.imwrite(os.path.join(args.out, "ground_truth.png"), to8b(gt))
+    except ImportError:
+        pass
+
+    out = render_rays_chunked(
+        trainer.params, image_rays, eval_settings, spec=trainer._spec, chunk=4096
+    )
+    rgb_jnp = np.asarray(out["rgb_fine"]).reshape(h, w, 3)
+    fidelity = ssim(rgb, rgb_jnp)
+    print(f"[{name}] fused vs jnp pipeline on trained weights: "
+          f"max|err| {np.abs(rgb - rgb_jnp).max():.2e}, SSIM {fidelity:.5f} "
+          f"(target >= {args.min_fidelity})")
+
+    # int8 serving mode (the benchmarked configuration, bench.py): the
+    # quantized trunk+heads must hold the same fidelity bar vs fp32.
+    quant = calibrate_model_quant(trainer.params, trainer._spec, box=6.0)
+    rgb_int8 = np.asarray(
+        render_rays_fused(
+            trainer.params, image_rays, eval_settings, spec=trainer._spec,
+            quant=quant,
+        )
+    ).reshape(h, w, 3)
+    fidelity_int8 = ssim(rgb_int8, rgb_jnp)
+    print(f"[{name}] int8 fused vs jnp pipeline on trained weights: "
+          f"max|err| {np.abs(rgb_int8 - rgb_jnp).max():.2e}, "
+          f"SSIM {fidelity_int8:.5f} (target >= {args.min_fidelity})")
+    return {"psnr": psnr, "fidelity": fidelity, "fidelity_int8": fidelity_int8}
 
 
 def main() -> None:
@@ -42,6 +133,15 @@ def main() -> None:
         "--min-fidelity", type=float, default=0.99,
         help="fail below this fused-vs-jnp SSIM (BASELINE.md target)",
     )
+    parser.add_argument(
+        "--proposal", action="store_true",
+        help="also train + gate the proposal-mode serving path",
+    )
+    parser.add_argument(
+        "--max-psnr-drop", type=float, default=0.7,
+        help="--proposal: fail if the proposal run loses more test PSNR "
+             "than this vs the hierarchical run (dB)",
+    )
     args = parser.parse_args()
 
     from nerf_workspaces_explorer_tpu.core.config import (
@@ -51,11 +151,6 @@ def main() -> None:
         RenderingConfig,
     )
     from nerf_workspaces_explorer_tpu.data import make_synthetic_scene
-    from nerf_workspaces_explorer_tpu.ops.pallas_render import render_rays_fused
-    from nerf_workspaces_explorer_tpu.rays.raygen import RayBundle
-    from nerf_workspaces_explorer_tpu.render import render_rays_chunked
-    from nerf_workspaces_explorer_tpu.train import Trainer
-    from nerf_workspaces_explorer_tpu.utils.metrics import ssim, to8b
 
     h, w = args.height, args.width
     cfg = FrameworkConfig(
@@ -71,90 +166,39 @@ def main() -> None:
     )
     train, test, _ = make_synthetic_scene(n_train=12, n_test=3, height=h, width=w)
     os.makedirs(args.out, exist_ok=True)
-    trainer = Trainer(
-        "office_synth_validation",
-        cfg,
-        train_data=train,
-        test_data=test,
-        save_dir=os.path.join(args.out, "run"),
-        enable_tensorboard=False,
-    )
-    trainer.setup()
 
-    start = time.time()
-    for i in range(args.steps):
-        metrics = trainer.step(i)
-        if i % 500 == 0:
-            print(
-                f"step {i}: loss {float(metrics['total_loss']):.5f} "
-                f"psnr_fine {float(metrics['psnr_fine']):.2f}",
-                flush=True,
-            )
-    train_time = time.time() - start
-    print(f"trained {args.steps} steps in {train_time:.0f}s "
-          f"({args.steps / train_time:.1f} steps/s)")
-
-    eval_settings = trainer._settings.for_eval()
-    psnrs, ssims = [], []
-    rgb = gt = None
-    for i in range(len(test)):
-        image_rays = RayBundle(*(f[i] for f in trainer.rays_test))
-        rgb = np.asarray(
-            render_rays_fused(trainer.params, image_rays, eval_settings, spec=trainer._spec)
-        ).reshape(h, w, 3)
-        gt = test.rgb[i]
-        mse = float(np.mean((rgb - gt) ** 2))
-        psnrs.append(-10 * np.log10(mse))
-        ssims.append(ssim(rgb, gt))
-    print(f"TEST fused-kernel renders: PSNR {np.mean(psnrs):.2f} dB, "
-          f"SSIM {np.mean(ssims):.4f}")
-
-    try:
-        import imageio
-
-        imageio.imwrite(os.path.join(args.out, "render.png"), to8b(rgb))
-        imageio.imwrite(os.path.join(args.out, "ground_truth.png"), to8b(gt))
-    except ImportError:
-        pass
-
-    out = render_rays_chunked(
-        trainer.params, image_rays, eval_settings, spec=trainer._spec, chunk=4096
-    )
-    rgb_jnp = np.asarray(out["rgb_fine"]).reshape(h, w, 3)
-    fidelity = ssim(rgb, rgb_jnp)
-    print(f"fused vs jnp pipeline on trained weights: "
-          f"max|err| {np.abs(rgb - rgb_jnp).max():.2e}, SSIM {fidelity:.5f} "
-          f"(target >= {args.min_fidelity})")
-
-    # int8 serving mode (the benchmarked configuration, bench.py): the
-    # quantized trunk must hold the same fidelity bar vs the fp32 pipeline.
-    from nerf_workspaces_explorer_tpu.ops.quantize import calibrate_model_quant
-
-    quant = calibrate_model_quant(trainer.params, trainer._spec, box=6.0)
-    rgb_int8 = np.asarray(
-        render_rays_fused(
-            trainer.params, image_rays, eval_settings, spec=trainer._spec,
-            quant=quant,
-        )
-    ).reshape(h, w, 3)
-    fidelity_int8 = ssim(rgb_int8, rgb_jnp)
-    print(f"int8 trunk vs jnp pipeline on trained weights: "
-          f"max|err| {np.abs(rgb_int8 - rgb_jnp).max():.2e}, "
-          f"SSIM {fidelity_int8:.5f} (target >= {args.min_fidelity})")
+    hier = run_leg("hier", False, train, test, cfg, args)
+    prop = run_leg("prop", True, train, test, cfg, args) if args.proposal else None
 
     failures = []
-    if np.mean(psnrs) < args.min_psnr:
+    if hier["psnr"] < args.min_psnr:
         failures.append(
-            f"test PSNR {np.mean(psnrs):.2f} dB < required {args.min_psnr}"
+            f"test PSNR {hier['psnr']:.2f} dB < required {args.min_psnr}"
         )
-    if fidelity < args.min_fidelity:
+    if hier["fidelity"] < args.min_fidelity:
         failures.append(
-            f"fused-vs-jnp SSIM {fidelity:.5f} < required {args.min_fidelity}"
+            f"fused-vs-jnp SSIM {hier['fidelity']:.5f} < required {args.min_fidelity}"
         )
-    if fidelity_int8 < args.min_fidelity:
+    if hier["fidelity_int8"] < args.min_fidelity:
         failures.append(
-            f"int8-vs-jnp SSIM {fidelity_int8:.5f} < required {args.min_fidelity}"
+            f"int8-vs-jnp SSIM {hier['fidelity_int8']:.5f} < required {args.min_fidelity}"
         )
+    if prop is not None:
+        if prop["psnr"] < hier["psnr"] - args.max_psnr_drop:
+            failures.append(
+                f"proposal test PSNR {prop['psnr']:.2f} dB more than "
+                f"{args.max_psnr_drop} dB below hierarchical {hier['psnr']:.2f}"
+            )
+        if prop["fidelity"] < args.min_fidelity:
+            failures.append(
+                f"proposal fused-vs-jnp SSIM {prop['fidelity']:.5f} "
+                f"< required {args.min_fidelity}"
+            )
+        if prop["fidelity_int8"] < args.min_fidelity:
+            failures.append(
+                f"proposal int8-vs-jnp SSIM {prop['fidelity_int8']:.5f} "
+                f"< required {args.min_fidelity}"
+            )
     if failures:
         print("QUALITY GATE FAILED: " + "; ".join(failures))
         sys.exit(1)
