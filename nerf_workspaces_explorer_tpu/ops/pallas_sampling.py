@@ -73,17 +73,19 @@ def _importance_merge_kernel(w_ref, z_ref, out_ref, *, n_importance: int):
     # bin b; empty (tied) intervals contribute to no quantile, reproducing
     # the XLA path's last-tie prefix/first-tie suffix selection. u >= the
     # last cdf entry clamps to the last bin (suffix-empty fallback).
+    #
+    # Each bin's interpolation b0 + (u - c0)/denom * (b1 - b0) is affine in
+    # u, so precompute per-bin slope/intercept [S-1, T] rows ONCE (one
+    # divide per bin) and keep the hot [I, T] loop divide-free — the
+    # per-iteration divide was ~half the kernel's VPU time.
+    denom = cdf[1:] - cdf[:-1]  # [S-2, T]
+    denom = jnp.where(denom < 1e-5, 1.0, denom)  # reference rays.py:108
+    slope = (bins[1:] - bins[:-1]) / denom
+    icept = bins[:-1] - cdf[:-1] * slope
     z_s = jnp.zeros((n_importance, t), jnp.float32)
     for b in range(n_bins - 1):
-        c0 = cdf[b : b + 1]
-        c1 = cdf[b + 1 : b + 2]
-        b0 = bins[b : b + 1]
-        b1 = bins[b + 1 : b + 2]
-        m = (u >= c0) & (u < c1)
-        denom = c1 - c0
-        denom = jnp.where(denom < 1e-5, 1.0, denom)  # reference rays.py:108
-        frac = (u - c0) / denom
-        z_s = z_s + jnp.where(m, b0 + frac * (b1 - b0), 0.0)
+        m = (u >= cdf[b : b + 1]) & (u < cdf[b + 1 : b + 2])
+        z_s = z_s + jnp.where(m, icept[b : b + 1] + u * slope[b : b + 1], 0.0)
     z_s = z_s + jnp.where(u >= cdf[-1:], bins[-1:], 0.0)
 
     # Bitonic merge: [z asc (S) | +inf pad | z_s desc (I)] is bitonic; the

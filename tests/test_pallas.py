@@ -264,3 +264,73 @@ def test_sorted_ray_fused_render_is_exact(params):
         early_stop_eps=1e-3, sort_rays=True,
     ))
     np.testing.assert_array_equal(srt, base)
+
+
+def test_importance_merge_kernel_matches_xla():
+    """The fused importance+merge kernel (ops/pallas_sampling.py) must
+    reproduce sample_pdf(deterministic=True) + merge_sorted_z. Boundary
+    flips — quantiles landing exactly on a CDF edge resolving to the
+    neighbouring interval under a different f32 summation order — are
+    allowed on a tiny fraction of samples and bounded by one coarse bin."""
+    from nerf_workspaces_explorer_tpu.ops.pallas_sampling import (
+        importance_merge_pallas,
+    )
+    from nerf_workspaces_explorer_tpu.rays.sampling import (
+        merge_sorted_z,
+        sample_pdf,
+    )
+
+    s, r, n_imp = 64, 256, 128
+    key = jax.random.PRNGKey(3)
+    z = jnp.sort(
+        jax.random.uniform(key, (s, r), minval=0.1, maxval=10.0), axis=0
+    )
+    # Realistic unimodal weights: a Gaussian bump at a per-ray depth.
+    centre = jax.random.uniform(jax.random.PRNGKey(4), (1, r), minval=2.0, maxval=8.0)
+    w = jnp.exp(-0.5 * ((z - centre) / 0.4) ** 2) + 1e-4
+
+    fused = np.asarray(
+        importance_merge_pallas(w, z, n_imp, ray_tile=128, interpret=True)
+    )
+    z_T = z.T
+    z_mid = 0.5 * (z_T[..., 1:] + z_T[..., :-1])
+    samples = sample_pdf(z_mid, w.T[..., 1:-1], n_imp, deterministic=True)
+    ref = np.asarray(merge_sorted_z(z_T, samples).T)
+
+    assert fused.shape == ref.shape == (s + n_imp, r)
+    # Sorted ascending per ray.
+    assert np.all(np.diff(fused, axis=0) >= -1e-6)
+    err = np.abs(fused - ref)
+    bin_w = float(np.max(np.diff(np.asarray(z), axis=0)))
+    # This scene's CDF is ~90% degenerate bins (the bump leaves most of the
+    # range at zero weight) — a worst case for edge ties; realistic trained
+    # weights measured ~0.07%.
+    flips = float(np.mean(err > 1e-4))
+    assert flips < 5e-3, f"boundary flips on {flips:.2%} of samples"
+    assert err.max() <= bin_w + 1e-4, (err.max(), bin_w)
+
+
+def test_importance_merge_kernel_uniform_weights_exact():
+    """With uniform weights the CDF is strictly increasing (no degenerate
+    intervals), so the kernel and the XLA path must agree to f32 eps."""
+    from nerf_workspaces_explorer_tpu.ops.pallas_sampling import (
+        importance_merge_pallas,
+    )
+    from nerf_workspaces_explorer_tpu.rays.sampling import (
+        merge_sorted_z,
+        sample_pdf,
+    )
+
+    s, r, n_imp = 32, 128, 64
+    z = jnp.broadcast_to(
+        jnp.linspace(0.5, 8.0, s)[:, None], (s, r)
+    ).astype(jnp.float32)
+    w = jnp.ones((s, r), jnp.float32)
+    fused = np.asarray(
+        importance_merge_pallas(w, z, n_imp, ray_tile=128, interpret=True)
+    )
+    z_T = z.T
+    z_mid = 0.5 * (z_T[..., 1:] + z_T[..., :-1])
+    samples = sample_pdf(z_mid, w.T[..., 1:-1], n_imp, deterministic=True)
+    ref = np.asarray(merge_sorted_z(z_T, samples).T)
+    np.testing.assert_allclose(fused, ref, atol=2e-5)
