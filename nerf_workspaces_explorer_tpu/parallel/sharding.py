@@ -38,6 +38,7 @@ def shard_render(
     axis_name: Optional[str] = None,
     use_pallas: bool = False,
     interpret: bool = False,
+    quant: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render a flat RayBundle with rays sharded across the mesh.
 
@@ -48,6 +49,8 @@ def shard_render(
         single unchunked call.
       use_pallas: run the fused render kernel on each device's shard (the
         production multi-chip path: kernel per shard, zero collectives).
+      quant: per-net int8 calibration (ops/quantize.py) for the fused path —
+        the serving configuration's full-int8 kernels on every shard.
     Returns:
       Output dict with leading dim N (same contract as render_rays_chunked).
     """
@@ -73,6 +76,7 @@ def shard_render(
             out = render_rays_fused(
                 params, local_rays, settings, spec=spec,
                 ray_tile=ray_tile, interpret=interpret, full=True,
+                quant=quant,
             )
             return {"rgb_fine": out.rgb, "depth_fine": out.depth[:, None],
                     "acc_fine": out.acc[:, None]}

@@ -97,3 +97,36 @@ def test_shard_render_fused_kernel_interpret(params):
     np.testing.assert_allclose(
         np.asarray(out["rgb_fine"]), np.asarray(single["rgb_fine"]), atol=5e-3
     )
+
+
+def test_shard_render_serving_config_int8_proposal(params):
+    """The benchmarked serving configuration over the mesh: proposal coarse
+    pass + full-int8 fused kernels per ray shard (bench.py; quant threaded
+    through shard_render)."""
+    from nerf_workspaces_explorer_tpu.ops.quantize import calibrate_model_quant
+    from nerf_workspaces_explorer_tpu.render.proposal import proposal_spec
+
+    k1, _ = jax.random.split(jax.random.PRNGKey(5))
+    serve_params = {
+        "proposal": init_nerf_params(k1, proposal_spec(6)),
+        "fine": params["fine"],
+    }
+    for p in serve_params.values():
+        p["alpha"]["b"] = p["alpha"]["b"] + 1.5
+    settings = SETTINGS._replace(use_proposal=True, proposal_num_freqs=6)
+    quant = calibrate_model_quant(serve_params, SPEC, box=4.0)
+    assert all(q.int8_heads for q in quant.values())
+    rays = create_rays(jnp.eye(4)[None], 8, 16, 8.0, 8.0, 7.5, 3.5, 0.5, 4.0).reshape(128)
+    mesh = data_mesh()
+    out = shard_render(
+        serve_params, rays, settings, mesh, spec=SPEC,
+        use_pallas=True, interpret=True, quant=quant,
+    )
+    assert out["rgb_fine"].shape == (128, 3)
+    single = render_ray_bundle(
+        serve_params, rays, settings.for_eval(), spec=SPEC, full_outputs=False
+    )
+    err = np.abs(np.asarray(out["rgb_fine"]) - np.asarray(single["rgb_fine"]))
+    assert np.all(np.isfinite(err))
+    assert err.mean() < 4e-3, err.mean()
+    assert err.max() < 4e-2, err.max()
