@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
         "rendering and training, changes sample placement vs the reference)",
     )
     parser.add_argument(
+        "--steps-per-call", type=int, default=1, metavar="K",
+        help="advance K optimizer steps per device dispatch (lax.scan); "
+        "logging/eval/ckpt cadences still fire at their exact steps",
+    )
+    parser.add_argument(
         "--nan-debug", action="store_true",
         help="raise on the first NaN inside jitted code (slow; the analog of "
         "the reference's global anomaly detection)",
@@ -77,6 +82,22 @@ def main(argv=None) -> None:
         enable_nan_debugging()
 
     config = load_config(office_name=office)
+    if args.steps_per_call > 1 and 0 < config.logging.step_log_print < args.steps_per_call:
+        # The reference config prints every step, which makes every step a
+        # cadence boundary and would keep the scanned fast path idle;
+        # stretch the print cadence to the dispatch size.
+        import dataclasses
+
+        config = dataclasses.replace(
+            config,
+            logging=dataclasses.replace(
+                config.logging, step_log_print=args.steps_per_call
+            ),
+        )
+        print(
+            f"(--steps-per-call {args.steps_per_call}: console print cadence "
+            f"raised to every {args.steps_per_call} steps)"
+        )
     mesh = data_mesh(args.mesh) if args.mesh > 0 else None
 
     train_data = test_data = None
@@ -100,6 +121,7 @@ def main(argv=None) -> None:
         save_dir=args.save_dir,
         field_impl="pallas" if args.fused_field else "xla",
         use_proposal=args.proposal,
+        steps_per_call=args.steps_per_call,
     )
     trainer.setup()
 
@@ -120,11 +142,27 @@ def main(argv=None) -> None:
     with trace_context(args.profile if args.profile else None):
         for i in range(start_step, min(profile_until + 1, num_iterations)):
             trainer.step(i)
-    for i in range(max(start_step, profile_until + 1), num_iterations):
-        step_start = time.time()
-        trainer.step(i)
-        duration = time.time() - step_start
-        print(f"Finished step: {i + 1}/{num_iterations} --> Step duration: {duration} sec")
+    main_start = max(start_step, profile_until + 1)
+    if args.steps_per_call > 1:
+        # Scanned multi-step dispatches; per-step wall-clock prints (the
+        # reference's nerf/train.py:49-56 behavior) only make sense one
+        # step at a time, so fit() owns the loop here.
+        loop_start = time.time()
+        trainer.fit(num_iterations, start_step=main_start)
+        duration = time.time() - loop_start
+        done = num_iterations - main_start
+        if done > 0:
+            print(
+                f"Finished steps {main_start + 1}..{num_iterations} in "
+                f"{duration:.1f} sec ({done / duration:.1f} steps/s, "
+                f"{args.steps_per_call} steps/dispatch)"
+            )
+    else:
+        for i in range(main_start, num_iterations):
+            step_start = time.time()
+            trainer.step(i)
+            duration = time.time() - step_start
+            print(f"Finished step: {i + 1}/{num_iterations} --> Step duration: {duration} sec")
 
     # Export the reference's nine SVG training curves (SURVEY component 22).
     try:

@@ -76,6 +76,7 @@ class Trainer:
         use_pallas: Optional[bool] = None,
         field_impl: str = "xla",
         use_proposal: bool = False,
+        steps_per_call: int = 1,
     ) -> None:
         self._office_name = office_name
         self._config = config if config is not None else load_config(office_name=office_name)
@@ -86,6 +87,11 @@ class Trainer:
             use_pallas = jax.devices()[0].platform == "tpu"
         self._use_pallas = use_pallas
         self._field_impl = field_impl
+        # steps_per_call > 1: fit() advances K optimizer steps per dispatch
+        # (lax.scan in make_train_step) between logging/eval/ckpt
+        # boundaries; the trajectory is bit-identical to single stepping.
+        self._steps_per_call = max(1, int(steps_per_call))
+        self._fast_step = None
         self.timer = StepTimer()
 
         self._save_dir = save_dir or _next_run_dir(
@@ -219,6 +225,16 @@ class Trainer:
             mesh=self._mesh,
             field_impl=self._field_impl,
         )
+        if self._steps_per_call > 1:
+            self._fast_step = make_train_step(
+                self._settings,
+                self._spec,
+                self._optimizer,
+                cfg.rendering.n_rays,
+                mesh=self._mesh,
+                field_impl=self._field_impl,
+                steps_per_call=self._steps_per_call,
+            )
 
     def initialize_rays(self) -> None:
         """Precompute per-image ray bundles (train full-res, vis/test scaled),
@@ -311,14 +327,54 @@ class Trainer:
         return metrics
 
     def fit(self, n_iterations: Optional[int] = None, *, start_step: int = 0) -> None:
-        """Run the main loop (reference nerf/train.py:48-56)."""
+        """Run the main loop (reference nerf/train.py:48-56).
+
+        With `steps_per_call` K > 1, stretches between cadence boundaries
+        (print/TB/eval/ckpt intervals) advance in K-step scanned dispatches;
+        steps ON a boundary go through `step()` so every cadence action
+        still fires at its exact step. Identical trajectory either way."""
         total = (
             n_iterations
             if n_iterations is not None
             else self._config.training.n_iterations
         )
-        for i in range(start_step, total):
+        K = self._steps_per_call
+        if K <= 1 or self._fast_step is None:
+            for i in range(start_step, total):
+                self.step(i)
+            return
+
+        log = self._config.logging
+        intervals = [
+            v
+            for v in (
+                log.step_log_print,
+                log.step_log_tensorboard,
+                log.step_render_train,
+                log.step_render_test,
+                log.step_save_ckpt,
+            )
+            if v > 0
+        ]
+        i = start_step
+        while i < total:
             self.step(i)
+            i += 1
+            boundary = min(
+                ((i // v + (1 if i % v else 0)) * v for v in intervals),
+                default=total,
+            )
+            boundary = min(max(boundary, i), total)
+            while boundary - i >= K:
+                with self.timer.phase("train_step"):
+                    self._state, _ = self._fast_step(
+                        self._state, self.rays_train, self._train_rgbs,
+                        self._base_key,
+                    )
+                i += K
+            while i < boundary:
+                self.step(i)
+                i += 1
 
     # ------------------------------------------------------------------ #
     # Eval renders (reference :411-508)

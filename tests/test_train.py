@@ -208,6 +208,18 @@ def test_train_cli_synthetic_with_export(tmp_path, monkeypatch):
     assert os.path.exists(tmp_path / "final_models" / "office_tokyo" / "model.npz")
 
 
+def test_train_cli_steps_per_call(tmp_path, monkeypatch):
+    """--steps-per-call drives the scanned fit() loop through the CLI."""
+    monkeypatch.chdir(tmp_path)
+    from nerf_workspaces_explorer_tpu.cli.train import main as train_main
+
+    train_main([
+        "--office", "tokyo", "--synthetic", "--synthetic-size", "16",
+        "--iterations", "9", "--save-dir", str(tmp_path / "run_scan"),
+        "--steps-per-call", "4",
+    ])
+
+
 def test_obs_debug_scan():
     from nerf_workspaces_explorer_tpu.obs import scan_outputs_finite
 
@@ -242,3 +254,105 @@ def test_trainer_with_mesh_dp(tmp_path):
     losses = [float(trainer.step(i)["total_loss"]) for i in range(5)]
     assert np.isfinite(losses).all()
     assert int(trainer.state.step) == 5
+
+
+def test_scanned_multi_step_matches_single_steps():
+    """steps_per_call=K must reproduce K single-step dispatches (keys fold
+    from state.step inside the scan; equality holds to f32 rounding — the
+    scan body fuses differently than the straight-line step)."""
+    spec = NerfMLPSpec(depth=2, width=32, input_ch=39, input_ch_views=15)
+    settings = RenderSettings(
+        n_samples=8, n_importance=8, num_freqs_3d=6, num_freqs_2d=2,
+        raw_noise_std=1.0,
+    )
+    opt = make_optimizer(1e-3, 0.1, 50_000.0)
+    state_a = init_train_state(jax.random.PRNGKey(0), spec, opt)
+    state_b = init_train_state(jax.random.PRNGKey(0), spec, opt)
+
+    train, _, _ = make_synthetic_scene(n_train=2, n_test=1, height=8, width=8)
+    rays = create_rays(
+        jnp.asarray(train.camera_pose), 8, 8, 4.0, 4.0, 3.5, 3.5, 0.1, 6.0
+    )
+    rgbs = jnp.asarray(train.rgb.reshape(2, -1, 3))
+    key = jax.random.PRNGKey(7)
+
+    single = make_train_step(settings, spec, opt, n_rays=64, donate=False)
+    scanned = make_train_step(
+        settings, spec, opt, n_rays=64, donate=False, steps_per_call=4
+    )
+    for _ in range(4):
+        state_a, metrics_a = single(state_a, rays, rgbs, key)
+    state_b, metrics_b = scanned(state_b, rays, rgbs, key)
+
+    assert int(state_a.step) == int(state_b.step) == 4
+    for la, lb in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=1e-4, atol=1e-5
+        )
+    for k in ("total_loss", "psnr_fine"):
+        np.testing.assert_allclose(
+            float(metrics_a[k]), float(metrics_b[k]), rtol=1e-5
+        )
+
+
+def test_scanned_sharded_step_matches_single_steps():
+    """The mesh variant of steps_per_call: scan inside shard_map with the
+    per-step pmean preserved."""
+    from jax.sharding import Mesh
+
+    spec = NerfMLPSpec(depth=2, width=32)
+    settings = RenderSettings(n_samples=8, n_importance=8, raw_noise_std=0.0)
+    opt = make_optimizer()
+    state_a = init_train_state(jax.random.PRNGKey(0), spec, opt)
+    state_b = init_train_state(jax.random.PRNGKey(0), spec, opt)
+    poses = jnp.stack([jnp.eye(4)] * 2)
+    rays = create_rays(poses, 8, 8, 4.0, 4.0, 3.5, 3.5, 0.1, 6.0)
+    rgbs = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 3))
+    key = jax.random.PRNGKey(2)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+    single = make_train_step(settings, spec, opt, n_rays=64, mesh=mesh, donate=False)
+    scanned = make_train_step(
+        settings, spec, opt, n_rays=64, mesh=mesh, donate=False, steps_per_call=3
+    )
+    for _ in range(3):
+        state_a, _ = single(state_a, rays, rgbs, key)
+    state_b, metrics_b = scanned(state_b, rays, rgbs, key)
+    assert int(state_b.step) == 3
+    assert metrics_b["trans_fine"].shape[0] == 64
+    for la, lb in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_trainer_fit_steps_per_call(tmp_path):
+    """Trainer.fit with steps_per_call: cadence boundaries still hit their
+    exact steps and the final state matches plain stepping (to f32
+    rounding; see test_scanned_multi_step_matches_single_steps)."""
+    cfg = small_config()
+    train, test, _ = make_synthetic_scene(n_train=2, n_test=1, height=16, width=16)
+
+    def build(k):
+        return Trainer(
+            "office_scan_test",
+            cfg,
+            train_data=train,
+            test_data=test,
+            save_dir=str(tmp_path / f"run_{k}"),
+            enable_tensorboard=False,
+            use_pallas=False,
+            steps_per_call=k,
+        )
+
+    a = build(1)
+    a.setup()
+    a.fit(12)
+    b = build(4)
+    b.setup()
+    b.fit(12)
+    assert int(a._state.step) == int(b._state.step) == 12
+    for la, lb in zip(jax.tree.leaves(a._state.params), jax.tree.leaves(b._state.params)):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=1e-4, atol=1e-5
+        )
