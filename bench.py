@@ -84,6 +84,16 @@ def main() -> None:
     elapsed = time.perf_counter() - start
 
     ms_per_frame = elapsed / TIMED_FRAMES * 1000.0
+
+    # Tour/video throughput: the pipelined stream overlaps device compute
+    # with the host download (render_poses_uint8_stream).
+    tour = poses_from_coordinates(
+        COORD(x=1.0, y=-0.5, z=0.5, pitch=-90.0),
+        [COORD(yaw=a) for a in np.linspace(-90.0, 90.0, 8)],
+    )
+    start = time.perf_counter()
+    n_streamed = sum(1 for _ in renderer.render_poses_uint8_stream(tour, lookahead=3))
+    ms_per_frame_streamed = (time.perf_counter() - start) / n_streamed * 1000.0
     rays_per_sec = WIDTH * HEIGHT / (elapsed / TIMED_FRAMES)
     n_chips = jax.device_count()
 
@@ -100,6 +110,7 @@ def main() -> None:
                 "unit": "ms",
                 "vs_baseline": round(TARGET_MS / ms_per_frame, 4),
                 "rays_per_sec_per_chip": round(rays_per_sec / n_chips),
+                "ms_per_frame_streamed": round(ms_per_frame_streamed, 2),
                 "train_steps_per_sec": round(train_steps_per_sec, 2),
                 "train_steps_per_sec_fused": round(train_steps_per_sec_fused, 2),
                 "n_chips": n_chips,

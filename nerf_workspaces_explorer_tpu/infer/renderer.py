@@ -319,5 +319,34 @@ class NeRFRenderer:
             outputs.append(frames[: len(group)])
         return np.concatenate(outputs, axis=0)
 
+    def render_poses_uint8_stream(
+        self, c2ws: Sequence[np.ndarray], lookahead: int = 2
+    ):
+        """Yield uint8 [H, W, 3] frames for a pose sequence, pipelined.
+
+        JAX dispatch is asynchronous, so keeping `lookahead` frames in
+        flight overlaps the device compute of frame k+1..k+lookahead with
+        the host download of frame k — for tour/video export the slow
+        host link rides for free behind the kernel (the reference renders
+        and downloads each tour frame serially,
+        …training_handler.py:482-508). Frames are bitwise identical to
+        per-pose `render_pose_uint8` calls.
+        """
+        if self._render_uint8_jit is None:
+            raise RuntimeError("initialize_models() must be called before rendering")
+        from collections import deque
+
+        pending: "deque[jax.Array]" = deque()
+        for pose in c2ws:
+            pending.append(
+                self._render_uint8_jit(
+                    self._params, jnp.asarray(pose, dtype=jnp.float32)
+                )
+            )
+            if len(pending) > lookahead:
+                yield np.asarray(pending.popleft())
+        while pending:
+            yield np.asarray(pending.popleft())
+
     def _build_batch_render_fn(self) -> None:
         self._render_batch_jit = jax.jit(self._render_c2w_batch)

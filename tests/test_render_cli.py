@@ -52,3 +52,36 @@ def test_render_poses_grouping():
     assert np.all(np.isfinite(frames))
     # Every launch used the same padded batch size -> one compiled shape.
     assert len(set(calls)) == 1
+
+
+def test_render_poses_uint8_stream_matches_per_pose():
+    """The pipelined stream must yield frames bitwise identical to per-pose
+    render_pose_uint8 calls, in order."""
+    from nerf_workspaces_explorer_tpu.camera.poses import poses_from_coordinates
+    from nerf_workspaces_explorer_tpu.core import COORD
+    from nerf_workspaces_explorer_tpu.core.config import (
+        ExperimentConfig,
+        FrameworkConfig,
+        RenderingConfig,
+    )
+    from nerf_workspaces_explorer_tpu.infer.renderer import NeRFRenderer
+
+    cfg = FrameworkConfig(
+        experiment=ExperimentConfig(image_width=16, image_height=8),
+        rendering=RenderingConfig(n_samples=4, n_importance=4,
+                                  num_freqs_3d=6, num_freqs_2d=2),
+    )
+    renderer = NeRFRenderer("office_tokyo", None, config=cfg, use_pallas=False)
+    renderer.initialize_models(allow_random_init=True)
+
+    init = COORD(x=1.0, y=-0.5, z=0.5, pitch=-90.0)
+    poses = poses_from_coordinates(
+        init, [COORD(yaw=a) for a in (-60.0, -30.0, 0.0, 30.0, 60.0)]
+    )
+    streamed = list(renderer.render_poses_uint8_stream(poses, lookahead=2))
+    assert len(streamed) == 5
+    for frame, pose in zip(streamed, poses):
+        assert frame.shape == (8, 16, 3) and frame.dtype == np.uint8
+        np.testing.assert_array_equal(
+            frame, np.asarray(renderer.render_pose_uint8(pose))
+        )
