@@ -18,6 +18,7 @@ from typing import List, Optional
 from PyQt5.QtCore import Qt, pyqtSignal
 from PyQt5.QtGui import QColor, QFont, QImage, QPainter, QPixmap
 from PyQt5.QtWidgets import (
+    QApplication,
     QGridLayout,
     QHBoxLayout,
     QLabel,
@@ -207,7 +208,20 @@ class WorkspaceExplorer(_DarkWindow):
         self._render()
 
     def _render(self) -> None:
-        image = self.workspace.render_image(*self.state.render_args())
+        # Progressive rendering (extension): paint a fast single-pass
+        # preview, flush it to the screen, then the full hierarchical frame
+        # (the reference renders only the full frame, synchronously,
+        # app.py:323-347).
+        try:
+            self._set_frame(
+                self.workspace.render_image_preview(*self.state.render_args())
+            )
+            QApplication.processEvents()
+        except Exception:
+            pass  # preview is best-effort; the full render still lands
+        self._set_frame(self.workspace.render_image(*self.state.render_args()))
+
+    def _set_frame(self, image) -> None:
         height, width, channels = image.shape
         qimage = QImage(image.data, width, height, width * channels, QImage.Format_RGB888)
         pixmap = QPixmap.fromImage(qimage).scaledToWidth(700)

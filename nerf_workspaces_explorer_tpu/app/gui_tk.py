@@ -191,12 +191,26 @@ class WorkspaceExplorer:
         self._request_render()
 
     def _request_render(self) -> None:
-        """Render on a worker thread; install the frame on the UI thread."""
+        """Render on a worker thread; install frames on the UI thread.
+
+        Progressive: a fast single-pass preview lands first, then the full
+        hierarchical render replaces it (extension — the reference renders
+        the full frame synchronously on the UI thread, app.py:323-347)."""
         args = self.state.render_args()
+        self._render_seq = seq = getattr(self, "_render_seq", 0) + 1
+
+        def install_if_current(image):
+            if self._render_seq == seq:
+                self._install_frame(image)
 
         def work():
+            try:
+                preview = self.workspace.render_image_preview(*args)
+                self.root.after(0, lambda: install_if_current(preview))
+            except Exception:
+                pass  # preview is best-effort; the full render still lands
             image = self.workspace.render_image(*args)
-            self.root.after(0, lambda: self._install_frame(image))
+            self.root.after(0, lambda: install_if_current(image))
 
         threading.Thread(target=work, daemon=True).start()
 

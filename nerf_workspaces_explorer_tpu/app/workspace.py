@@ -123,6 +123,20 @@ class Workspace(metaclass=ABCMeta):
         )
         return self._nerf_inference.render_coordinates(init_coordinates, coordinates)
 
+    def render_image_preview(
+        self, rel_x: float, rel_y: float, horizontal_angle: int, vertical_angle: int
+    ) -> np.ndarray:
+        """Fast single-pass preview frame for progressive GUI rendering
+        (framework extension; no reference analog — it renders the full
+        hierarchical frame synchronously, app.py:323-347). Silent: the
+        console trace prints once, from the full render that follows."""
+        init_coordinates, coordinates = self._transform_relative_coordinates(
+            rel_x, rel_y, horizontal_angle, vertical_angle
+        )
+        return self._nerf_inference.render_coordinates_preview(
+            init_coordinates, coordinates
+        )
+
 
 def _find_checkpoint(office_name: str) -> str:
     """Prefer a native .npz, fall back to the reference's torch .ckpt path."""

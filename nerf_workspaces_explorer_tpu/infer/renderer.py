@@ -133,6 +133,7 @@ class NeRFRenderer:
         self._render_jit = None
         self._render_uint8_jit = None
         self._render_batch_jit = None
+        self._preview_jit = None
 
     @property
     def config(self) -> FrameworkConfig:
@@ -318,6 +319,65 @@ class NeRFRenderer:
             frames = np.asarray(self._render_batch_jit(self._params, batch))
             outputs.append(frames[: len(group)])
         return np.concatenate(outputs, axis=0)
+
+    def render_coordinates_preview(
+        self, init_coordinates: COORD, coordinates: COORD, n_samples: int = 64
+    ) -> np.ndarray:
+        """Fast single-pass preview frame: COORD pair -> uint8 [H, W, 3].
+
+        Progressive-rendering extension (the reference always renders the
+        full hierarchical frame on the Qt main thread, app.py:323-347):
+        one network evaluated at `n_samples` uniform depths — with a
+        coarse+fine checkpoint the coarse net, which trains on exactly
+        this distribution; ~n_samples/192 of the full frame's cost. The
+        GUIs show this immediately and swap in the full render when ready.
+        """
+        if self._params is None:
+            raise RuntimeError("initialize_models() must be called before rendering")
+        pose = poses_from_coordinates(init_coordinates, [coordinates])[0]
+        if self._preview_jit is None:
+            self._preview_jit = self._build_preview_fn(n_samples)
+        return np.asarray(
+            self._preview_jit(self._params, jnp.asarray(pose, dtype=jnp.float32))
+        )
+
+    def _build_preview_fn(self, n_samples: int):
+        cfg = self._config
+        h, w = cfg.experiment.image_height, cfg.experiment.image_width
+        near, far = cfg.rendering.depth_range
+        net = "coarse" if "coarse" in self._params else "fine"
+        quant = (self._quant or {}).get(net) if self._precision == "int8" else None
+        from nerf_workspaces_explorer_tpu.ops.pallas_render import (
+            render_rays_single_pass,
+        )
+        from nerf_workspaces_explorer_tpu.render.pipeline import render_ray_bundle
+
+        def body(params, c2w):
+            rays = create_rays(
+                c2w[None], h, w, cfg.fx, cfg.fy, cfg.cx, cfg.cy, near, far
+            ).reshape(h * w)
+            if self._use_pallas:
+                rgb = render_rays_single_pass(
+                    params[net], rays, self._settings, spec=self._spec,
+                    n_samples=n_samples, quant=quant,
+                    early_stop_eps=self._early_stop_eps,
+                )
+            else:
+                out = render_ray_bundle(
+                    {"coarse": params[net]},
+                    rays,
+                    self._settings.for_eval()._replace(
+                        n_importance=0, n_samples=n_samples, use_proposal=False
+                    ),
+                    spec=self._spec,
+                    full_outputs=False,
+                )
+                rgb = out["rgb_coarse"]
+            return jnp.floor(
+                255.0 * jnp.clip(rgb.reshape(h, w, 3), 0.0, 1.0)
+            ).astype(jnp.uint8)
+
+        return jax.jit(body)
 
     def render_poses_uint8_stream(
         self, c2ws: Sequence[np.ndarray], lookahead: int = 2

@@ -1010,3 +1010,55 @@ def render_rays_fused(
     if full:
         return FusedRenderOutputs(rgb=rgb, depth=maps[3], acc=maps[4])
     return rgb
+
+
+def render_rays_single_pass(
+    net_params: Dict[str, Any],
+    rays,
+    settings,
+    *,
+    spec,
+    n_samples: Optional[int] = None,
+    ray_tile: int = DEFAULT_RAY_TILE,
+    interpret: bool = False,
+    early_stop_eps: float = 1e-3,
+    quant=None,
+):
+    """One full-pipeline fused pass over uniform depths with a single net.
+
+    The progressive-preview path (GUI): n_samples uniform z values through
+    ONE network — no importance sampling, no fine pass — so a preview frame
+    costs ~n_samples/192 of the hierarchical render. With a coarse+fine
+    checkpoint the natural net is "coarse" (trained on exactly this uniform
+    64-sample distribution); coarse-only rendering crashes the reference
+    (undefined rgb_fine, …inference_handler.py:234-268) so this is a
+    framework extension. Returns rgb [R, 3].
+    """
+    eval_settings = settings.for_eval()
+    kp = prepare_kernel_params(net_params, spec, quant=quant)
+    origins = rays.origins.astype(jnp.float32)
+    dirs = rays.dirs.astype(jnp.float32)
+    o_ph, d_ph = ray_phase_vectors(origins, dirs, kp.pts_freqs)
+    venc = encode_viewdirs_kernel_order(
+        rays.viewdirs.astype(jnp.float32), num_freqs=kp.view_freqs
+    )
+    dir_norm = jnp.linalg.norm(dirs, axis=-1)[None, :]
+    s = n_samples if n_samples is not None else eval_settings.n_samples
+    z = coarse_z_vals(
+        rays.near.astype(jnp.float32), rays.far.astype(jnp.float32), s
+    ).T
+    maps = nerf_render_pallas(
+        kp,
+        o_ph,
+        d_ph,
+        z,
+        _dists_from_z(z, dir_norm),
+        venc,
+        ray_tile=ray_tile,
+        early_stop_eps=early_stop_eps,
+        interpret=interpret,
+    )
+    rgb = maps[0:3].T
+    if eval_settings.white_background:
+        rgb = rgb + (1.0 - maps[4:5].T)
+    return rgb

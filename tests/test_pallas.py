@@ -334,3 +334,24 @@ def test_importance_merge_kernel_uniform_weights_exact():
     samples = sample_pdf(z_mid, w.T[..., 1:-1], n_imp, deterministic=True)
     ref = np.asarray(merge_sorted_z(z_T, samples).T)
     np.testing.assert_allclose(fused, ref, atol=2e-5)
+
+
+def test_single_pass_preview_matches_jnp_coarse_only(params):
+    """render_rays_single_pass (the GUI progressive-preview path) must match
+    the jnp pipeline's coarse-only extension on the same net."""
+    from nerf_workspaces_explorer_tpu.ops.pallas_render import (
+        render_rays_single_pass,
+    )
+
+    settings = RenderSettings(n_samples=16, n_importance=16)
+    rays = create_rays(jnp.eye(4)[None], 8, 16, 8.0, 8.0, 7.5, 3.5, 0.5, 4.0).reshape(128)
+    rgb = np.asarray(render_rays_single_pass(
+        params["coarse"], rays, settings, spec=SPEC, n_samples=16,
+        ray_tile=128, interpret=True, early_stop_eps=0.0,
+    ))
+    ref = render_ray_bundle(
+        params, rays, settings.for_eval()._replace(n_importance=0), spec=SPEC
+    )
+    np.testing.assert_allclose(
+        rgb, np.asarray(ref["rgb_coarse"]), atol=5e-3
+    )

@@ -85,3 +85,28 @@ def test_render_poses_uint8_stream_matches_per_pose():
         np.testing.assert_array_equal(
             frame, np.asarray(renderer.render_pose_uint8(pose))
         )
+
+
+def test_render_coordinates_preview_cpu():
+    """NeRFRenderer.render_coordinates_preview: uint8 frame via the jnp
+    coarse-only fallback; previews differ across yaws like full frames."""
+    from nerf_workspaces_explorer_tpu.core import COORD
+    from nerf_workspaces_explorer_tpu.core.config import (
+        ExperimentConfig,
+        FrameworkConfig,
+        RenderingConfig,
+    )
+    from nerf_workspaces_explorer_tpu.infer.renderer import NeRFRenderer
+
+    cfg = FrameworkConfig(
+        experiment=ExperimentConfig(image_width=16, image_height=8),
+        rendering=RenderingConfig(n_samples=8, n_importance=8,
+                                  num_freqs_3d=6, num_freqs_2d=2),
+    )
+    r = NeRFRenderer("office_tokyo", None, config=cfg, use_pallas=False)
+    r.initialize_models(allow_random_init=True)
+    init = COORD(x=1.0, y=-0.5, z=0.5, pitch=-90.0)
+    img = r.render_coordinates_preview(init, COORD(yaw=-30.0), n_samples=8)
+    assert img.shape == (8, 16, 3) and img.dtype == np.uint8
+    img2 = r.render_coordinates_preview(init, COORD(yaw=60.0), n_samples=8)
+    assert img.shape == img2.shape
