@@ -17,8 +17,10 @@ def main() -> None:
         help="GUI toolkit (auto: PyQt5 if installed, else tkinter)",
     )
     parser.add_argument(
-        "--precision", choices=("parity", "fast"), default="fast",
-        help="render precision (fast = bf16 MXU path)",
+        "--precision", choices=("parity", "fast", "int8"), default="fast",
+        help="render precision: parity (fp32, reference-identical), fast "
+        "(bf16 MXU), int8 (full-int8 fused kernels, the benchmarked "
+        "serving mode; TPU only, quality-gated at SSIM >= 0.99)",
     )
     parser.add_argument(
         "--random-init", action="store_true",
