@@ -77,6 +77,12 @@ def spec_from_config(cfg: FrameworkConfig) -> NerfMLPSpec:
     )
 
 
+# Compiled render-fn cache shared across NeRFRenderer instances (see
+# NeRFRenderer._jit_cache_key). Keys are fully-static configs; values are
+# (float_jit, uint8_jit) pairs whose params/pose are arguments.
+_RENDER_JIT_CACHE: Dict[Any, Any] = {}
+
+
 class NeRFRenderer:
     """Pose -> frame renderer for one workspace's trained NeRF."""
 
@@ -193,6 +199,39 @@ class NeRFRenderer:
         self._params = params
         self._build_render_fn()
 
+    def _jit_cache_key(self):
+        """Static configuration that fully determines the traced program.
+
+        Params are jit ARGUMENTS, so renderers whose statics match (the
+        four shipped offices use identical YAMLs) can share ONE compiled
+        executable — without this, every workspace switch in the GUI pays
+        a fresh multi-minute Pallas compile. int8 mode bakes the
+        calibration scales into the compile, so the quant NamedTuples
+        (plain floats, hashable) join the key: same checkpoint -> shared,
+        different weights -> separate, as required. Mesh-sharded renderers
+        never share (mesh identity isn't part of the key).
+        """
+        if self._mesh is not None:
+            return None
+        cfg = self._config
+        quant_key = None
+        if self._quant is not None:
+            quant_key = tuple(sorted(self._quant.items()))
+        return (
+            cfg.experiment.image_height,
+            cfg.experiment.image_width,
+            cfg.fx, cfg.fy, cfg.cx, cfg.cy,
+            cfg.rendering.depth_range,
+            self._settings,
+            self._spec,
+            self._precision,
+            self._chunk,
+            self._use_pallas,
+            self._early_stop_eps,
+            self._sort_rays,
+            quant_key,
+        )
+
     def _build_render_fn(self) -> None:
         if self._precision == "int8":
             # Static int8 calibration runs once, eagerly, on the concrete
@@ -202,6 +241,11 @@ class NeRFRenderer:
             )
 
             self._quant = calibrate_model_quant(self._params, self._spec)
+        key = self._jit_cache_key()
+        cached = _RENDER_JIT_CACHE.get(key) if key is not None else None
+        if cached is not None:
+            self._render_jit, self._render_uint8_jit = cached
+            return
         self._render_jit = jax.jit(
             lambda params, c2w: self._render_c2w_batch(params, c2w[None])[0]
         )
@@ -213,6 +257,8 @@ class NeRFRenderer:
                 255.0 * jnp.clip(self._render_c2w_batch(params, c2w[None])[0], 0.0, 1.0)
             ).astype(jnp.uint8)
         )
+        if key is not None:
+            _RENDER_JIT_CACHE[key] = (self._render_jit, self._render_uint8_jit)
 
     def _render_c2w_batch(self, params: Dict[str, Any], c2ws: jnp.ndarray) -> jnp.ndarray:
         """Traceable pose-batch -> frames body shared by the single-frame and

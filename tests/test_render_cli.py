@@ -110,3 +110,42 @@ def test_render_coordinates_preview_cpu():
     assert img.shape == (8, 16, 3) and img.dtype == np.uint8
     img2 = r.render_coordinates_preview(init, COORD(yaw=60.0), n_samples=8)
     assert img.shape == img2.shape
+
+
+def test_render_jit_cache_shared_across_workspace_renderers():
+    """Renderers with identical static configs share ONE compiled render fn
+    (params are jit arguments), so switching offices in the GUI does not
+    recompile; differing configs and mesh-sharded renderers do not share."""
+    from nerf_workspaces_explorer_tpu.core import COORD
+    from nerf_workspaces_explorer_tpu.core.config import (
+        ExperimentConfig,
+        FrameworkConfig,
+        RenderingConfig,
+    )
+    from nerf_workspaces_explorer_tpu.infer.renderer import NeRFRenderer
+
+    rendering = RenderingConfig(n_samples=4, n_importance=4,
+                                num_freqs_3d=6, num_freqs_2d=2)
+    cfg = FrameworkConfig(
+        experiment=ExperimentConfig(image_width=16, image_height=8),
+        rendering=rendering,
+    )
+    r1 = NeRFRenderer("office_tokyo", None, config=cfg, use_pallas=False)
+    r1.initialize_models(allow_random_init=True, seed=0)
+    r2 = NeRFRenderer("office_geneve", None, config=cfg, use_pallas=False)
+    r2.initialize_models(allow_random_init=True, seed=1)
+    assert r1._render_uint8_jit is r2._render_uint8_jit
+
+    init = COORD(x=1.0, y=-0.5, z=0.5, pitch=-90.0)
+    i1 = r1.render_coordinates(init, COORD(yaw=-30.0))
+    i2 = r2.render_coordinates(init, COORD(yaw=-30.0))
+    assert i1.shape == i2.shape
+    assert not np.array_equal(i1, i2)  # different weights, shared executable
+
+    other = FrameworkConfig(
+        experiment=ExperimentConfig(image_width=32, image_height=8),
+        rendering=rendering,
+    )
+    r3 = NeRFRenderer("office_tokyo", None, config=other, use_pallas=False)
+    r3.initialize_models(allow_random_init=True)
+    assert r3._render_uint8_jit is not r1._render_uint8_jit
