@@ -32,7 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--tour-step", type=int, default=30, help="angle step (deg)")
     parser.add_argument("--out", type=str, default="renders")
     parser.add_argument(
-        "--precision", type=str, default="parity", choices=("parity", "fast")
+        "--precision", type=str, default="parity",
+        choices=("parity", "fast", "int8"),
     )
     parser.add_argument(
         "--random-init",
@@ -107,9 +108,10 @@ def main(argv=None) -> None:
 
     # Tour: sweep horizontal angles then vertical angles (the GUI's four
     # camera buttons, reference application/app.py:384-414, step 30 deg).
-    # All tour poses render through ONE batched jit (renderer.render_poses).
+    # Frames stream through the pipelined uint8 path: device compute of the
+    # next frames overlaps each frame's host download, and quantization
+    # happens on device (renderer.render_poses_uint8_stream).
     from nerf_workspaces_explorer_tpu.camera.poses import poses_from_coordinates
-    from nerf_workspaces_explorer_tpu.utils.metrics import to8b
 
     angles = list(range(-90, 91, args.tour_step))
     views = [(h, 0) for h in angles] + [(0, v) for v in angles]
@@ -120,7 +122,7 @@ def main(argv=None) -> None:
     ]
     poses = poses_from_coordinates(init, deltas)
     start = time.perf_counter()
-    frames = [to8b(f) for f in workspace.renderer.render_poses(poses)]
+    frames = list(workspace.renderer.render_poses_uint8_stream(poses, lookahead=3))
     elapsed = time.perf_counter() - start
     for i, frame in enumerate(frames):
         imageio.imwrite(os.path.join(args.out, f"{office}_tour_{i:03d}.png"), frame)

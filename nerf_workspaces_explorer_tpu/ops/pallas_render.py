@@ -950,7 +950,7 @@ def render_rays_fused(
     weights = weights_t.T
     n_rays = weights_t.shape[1]
     imp_tile = next(
-        (tl for tl in (512, 256, 128) if n_rays % tl == 0), None
+        (tl for tl in (256, 512, 128) if n_rays % tl == 0), None
     )
     if imp_tile is not None:
         z_fine = importance_merge_pallas(

@@ -111,7 +111,8 @@ def importance_merge_pallas(
     z_t: jnp.ndarray,
     n_importance: int,
     *,
-    ray_tile: int = 512,
+    ray_tile: int = 256,  # fastest measured tile at frame scale (7.4 ms vs
+    # 9.7 at 512 on a 640x480 frame, scripts/profile_coarse_stage.py)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """weights_t, z_t: [S, R] transposed coarse outputs (R % ray_tile == 0).

@@ -149,3 +149,19 @@ def test_render_jit_cache_shared_across_workspace_renderers():
     r3 = NeRFRenderer("office_tokyo", None, config=other, use_pallas=False)
     r3.initialize_models(allow_random_init=True)
     assert r3._render_uint8_jit is not r1._render_uint8_jit
+
+
+def test_render_cli_tour_streams_frames(tmp_path, monkeypatch):
+    """--tour writes one PNG per view through the streamed uint8 path."""
+    monkeypatch.chdir(tmp_path)
+    from nerf_workspaces_explorer_tpu.cli.render import main as render_main
+
+    render_main([
+        "--office", "tokyo", "--random-init",
+        "--width", "16", "--height", "8", "--coarse-only",
+        "--tour", "--tour-step", "90",
+        "--out", str(tmp_path / "tour"),
+    ])
+    files = sorted(os.listdir(tmp_path / "tour"))
+    pngs = [f for f in files if f.endswith(".png")]
+    assert len(pngs) == 6  # three hangles + three vangles at step 90
