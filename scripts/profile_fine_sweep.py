@@ -39,7 +39,8 @@ def timed(name, fn, *args, n=5, **kw):
     out = jax.block_until_ready(fn(*args, **kw))  # compile
     start = time.perf_counter()
     for _ in range(n):
-        out = jax.block_until_ready(fn(*args, **kw))
+        out = fn(*args, **kw)
+    float(out)  # drain the in-order queue (CLAUDE.md timing note)
     ms = (time.perf_counter() - start) / n * 1000.0
     print(f"{name:46s} {ms:8.1f} ms", flush=True)
     return out, ms
@@ -89,13 +90,9 @@ def main() -> None:
         )
     )
 
-    @jax.jit
-    def importance_fused(weights_t, z):
-        return importance_merge_pallas(weights_t, z, 128)
-
-    z_fine, _ = timed("importance+merge fused (pallas)", importance_fused,
-                      wts_raw, z_c)
-    z_fine = jax.block_until_ready(z_fine)
+    z_fine = jax.block_until_ready(
+        jax.jit(lambda w_, z_: importance_merge_pallas(w_, z_, 128))(wts_raw, z_c)
+    )
 
     def fine_fn(tile, sub):
         def run(z):
@@ -107,7 +104,7 @@ def main() -> None:
 
         return jax.jit(run)
 
-    for tile, sub in [(4096, 8), (4096, 4), (8192, 8), (8192, 16), (2048, 8)]:
+    for tile, sub in [(4096, 8), (4096, 16), (2048, 8), (2048, 16), (1024, 8)]:
         timed(f"fine 192 int8-heads tile={tile} sub={sub}",
               fine_fn(tile, sub), z_fine)
 
