@@ -209,14 +209,17 @@ class WorkspaceExplorer(_DarkWindow):
 
     def _render(self) -> None:
         # Progressive rendering (extension): paint a fast single-pass
-        # preview, flush it to the screen, then the full hierarchical frame
-        # (the reference renders only the full frame, synchronously,
-        # app.py:323-347).
+        # preview, force its paint, then the full hierarchical frame (the
+        # reference renders only the full frame, synchronously,
+        # app.py:323-347). repaint() (not processEvents) flushes the
+        # preview pixmap without re-entering the event loop — a queued
+        # click or window-close must not start a nested render or destroy
+        # widgets under us.
         try:
             self._set_frame(
                 self.workspace.render_image_preview(*self.state.render_args())
             )
-            QApplication.processEvents()
+            self._nerf_image.repaint()
         except Exception:
             pass  # preview is best-effort; the full render still lands
         self._set_frame(self.workspace.render_image(*self.state.render_args()))

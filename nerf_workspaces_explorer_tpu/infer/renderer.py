@@ -82,6 +82,66 @@ def spec_from_config(cfg: FrameworkConfig) -> NerfMLPSpec:
 # (float_jit, uint8_jit) pairs whose params/pose are arguments.
 _RENDER_JIT_CACHE: Dict[Any, Any] = {}
 
+def _render_c2w_batch_impl(
+    params: Dict[str, Any],
+    c2ws: jnp.ndarray,
+    *,
+    cfg: FrameworkConfig,
+    settings: RenderSettings,
+    spec: NerfMLPSpec,
+    precision: str,
+    chunk: int,
+    use_pallas: bool,
+    mesh,
+    quant,
+    early_stop_eps: float,
+    sort_rays: bool,
+) -> jnp.ndarray:
+    """Traceable pose-batch -> frames body shared by the single-frame and
+    batched jits (pure: all statics are explicit arguments so jitted
+    programs never capture a live renderer). Dispatch: fused Pallas kernel
+    (TPU production path), mesh-sharded rays, or the chunked jnp
+    pipeline."""
+    h, w = cfg.experiment.image_height, cfg.experiment.image_width
+    near, far = cfg.rendering.depth_range
+    matmul_precision = "highest" if precision == "parity" else "default"
+
+    with jax.default_matmul_precision(matmul_precision):
+        n = c2ws.shape[0]
+        rays = create_rays(
+            c2ws, h, w, cfg.fx, cfg.fy, cfg.cx, cfg.cy, near, far
+        ).reshape(n * h * w)
+        if use_pallas:
+            # The fused kernel manages its own precision: fp32 ray math
+            # and encoding phases, bf16 MXU matmuls.
+            from nerf_workspaces_explorer_tpu.ops.pallas_render import (
+                render_rays_fused,
+            )
+
+            rgb = render_rays_fused(
+                params, rays, settings, spec=spec,
+                quant=quant, early_stop_eps=early_stop_eps,
+                sort_rays=sort_rays,
+            )
+        else:
+            if precision == "fast":
+                rays = jax.tree.map(lambda x: x.astype(jnp.bfloat16), rays)
+            if mesh is not None:
+                from nerf_workspaces_explorer_tpu.parallel.sharding import (
+                    shard_render,
+                )
+
+                out = shard_render(
+                    params, rays, settings, mesh, spec=spec, chunk=chunk
+                )
+            else:
+                out = render_rays_chunked(
+                    params, rays, settings, spec=spec, chunk=chunk
+                )
+            rgb = out.get("rgb_fine", out.get("rgb_coarse"))
+        return rgb.astype(jnp.float32).reshape(n, h, w, 3)
+
+
 
 class NeRFRenderer:
     """Pose -> frame renderer for one workspace's trained NeRF."""
@@ -139,7 +199,7 @@ class NeRFRenderer:
         self._render_jit = None
         self._render_uint8_jit = None
         self._render_batch_jit = None
-        self._preview_jit = None
+        self._preview_jits: Dict[int, Any] = {}
 
     @property
     def config(self) -> FrameworkConfig:
@@ -241,69 +301,55 @@ class NeRFRenderer:
             )
 
             self._quant = calibrate_model_quant(self._params, self._spec)
+        # Weights (and so int8 calibration) may have changed: drop every
+        # jit built against the previous state.
+        self._render_batch_jit = None
+        self._preview_jits = {}
         key = self._jit_cache_key()
         cached = _RENDER_JIT_CACHE.get(key) if key is not None else None
         if cached is not None:
             self._render_jit, self._render_uint8_jit = cached
             return
-        self._render_jit = jax.jit(
-            lambda params, c2w: self._render_c2w_batch(params, c2w[None])[0]
-        )
+        body = self._frozen_batch_body()
+        self._render_jit = jax.jit(lambda params, c2w: body(params, c2w[None])[0])
         # uint8 product path: quantize ON DEVICE (reference to8b_np,
         # model_utils.py:10) so a frame crosses the host link as 1 byte per
         # channel instead of 4 — the GUI/CLI consume uint8 anyway.
         self._render_uint8_jit = jax.jit(
             lambda params, c2w: jnp.floor(
-                255.0 * jnp.clip(self._render_c2w_batch(params, c2w[None])[0], 0.0, 1.0)
+                255.0 * jnp.clip(body(params, c2w[None])[0], 0.0, 1.0)
             ).astype(jnp.uint8)
         )
         if key is not None:
             _RENDER_JIT_CACHE[key] = (self._render_jit, self._render_uint8_jit)
 
+    def _frozen_batch_body(self):
+        """Snapshot the current static render state into a pure callable.
+
+        Every jitted render fn closes over this SNAPSHOT, never over
+        `self`: a cached executable's behavior is then fully determined by
+        the state it was built from (the shared-cache key), and later
+        mutations of any renderer (set_params recalibrating int8 scales)
+        cannot leak into an already-built program.
+        """
+        import functools
+
+        return functools.partial(
+            _render_c2w_batch_impl,
+            cfg=self._config,
+            settings=self._settings,
+            spec=self._spec,
+            precision=self._precision,
+            chunk=self._chunk,
+            use_pallas=self._use_pallas,
+            mesh=self._mesh,
+            quant=self._quant,
+            early_stop_eps=self._early_stop_eps,
+            sort_rays=self._sort_rays,
+        )
+
     def _render_c2w_batch(self, params: Dict[str, Any], c2ws: jnp.ndarray) -> jnp.ndarray:
-        """Traceable pose-batch -> frames body shared by the single-frame and
-        batched jits. Dispatch: fused Pallas kernel (TPU production path),
-        mesh-sharded rays, or the chunked jnp pipeline."""
-        cfg = self._config
-        h, w = cfg.experiment.image_height, cfg.experiment.image_width
-        near, far = cfg.rendering.depth_range
-        matmul_precision = "highest" if self._precision == "parity" else "default"
-
-        with jax.default_matmul_precision(matmul_precision):
-            n = c2ws.shape[0]
-            rays = create_rays(
-                c2ws, h, w, cfg.fx, cfg.fy, cfg.cx, cfg.cy, near, far
-            ).reshape(n * h * w)
-            if self._use_pallas:
-                # The fused kernel manages its own precision: fp32 ray math
-                # and encoding phases, bf16 MXU matmuls.
-                from nerf_workspaces_explorer_tpu.ops.pallas_render import (
-                    render_rays_fused,
-                )
-
-                rgb = render_rays_fused(
-                    params, rays, self._settings, spec=self._spec,
-                    quant=self._quant, early_stop_eps=self._early_stop_eps,
-                    sort_rays=self._sort_rays,
-                )
-            else:
-                if self._precision == "fast":
-                    rays = jax.tree.map(lambda x: x.astype(jnp.bfloat16), rays)
-                if self._mesh is not None:
-                    from nerf_workspaces_explorer_tpu.parallel.sharding import (
-                        shard_render,
-                    )
-
-                    out = shard_render(
-                        params, rays, self._settings, self._mesh,
-                        spec=self._spec, chunk=self._chunk,
-                    )
-                else:
-                    out = render_rays_chunked(
-                        params, rays, self._settings, spec=self._spec, chunk=self._chunk
-                    )
-                rgb = out.get("rgb_fine", out.get("rgb_coarse"))
-            return rgb.astype(jnp.float32).reshape(n, h, w, 3)
+        return self._frozen_batch_body()(params, c2ws)
 
     def render_pose(self, c2w: np.ndarray) -> jax.Array:
         """Render one camera pose; returns a device array [H, W, 3] float32
@@ -381,11 +427,10 @@ class NeRFRenderer:
         if self._params is None:
             raise RuntimeError("initialize_models() must be called before rendering")
         pose = poses_from_coordinates(init_coordinates, [coordinates])[0]
-        if self._preview_jit is None:
-            self._preview_jit = self._build_preview_fn(n_samples)
-        return np.asarray(
-            self._preview_jit(self._params, jnp.asarray(pose, dtype=jnp.float32))
-        )
+        fn = self._preview_jits.get(n_samples)
+        if fn is None:
+            fn = self._preview_jits[n_samples] = self._build_preview_fn(n_samples)
+        return np.asarray(fn(self._params, jnp.asarray(pose, dtype=jnp.float32)))
 
     def _build_preview_fn(self, n_samples: int):
         cfg = self._config
@@ -393,6 +438,10 @@ class NeRFRenderer:
         near, far = cfg.rendering.depth_range
         net = "coarse" if "coarse" in self._params else "fine"
         quant = (self._quant or {}).get(net) if self._precision == "int8" else None
+        # Snapshot statics: the jitted body must never read live self state
+        # (same invariant as _frozen_batch_body).
+        settings, spec = self._settings, self._spec
+        use_pallas, eps = self._use_pallas, self._early_stop_eps
         from nerf_workspaces_explorer_tpu.ops.pallas_render import (
             render_rays_single_pass,
         )
@@ -402,20 +451,20 @@ class NeRFRenderer:
             rays = create_rays(
                 c2w[None], h, w, cfg.fx, cfg.fy, cfg.cx, cfg.cy, near, far
             ).reshape(h * w)
-            if self._use_pallas:
+            if use_pallas:
                 rgb = render_rays_single_pass(
-                    params[net], rays, self._settings, spec=self._spec,
+                    params[net], rays, settings, spec=spec,
                     n_samples=n_samples, quant=quant,
-                    early_stop_eps=self._early_stop_eps,
+                    early_stop_eps=eps,
                 )
             else:
                 out = render_ray_bundle(
                     {"coarse": params[net]},
                     rays,
-                    self._settings.for_eval()._replace(
+                    settings.for_eval()._replace(
                         n_importance=0, n_samples=n_samples, use_proposal=False
                     ),
-                    spec=self._spec,
+                    spec=spec,
                     full_outputs=False,
                 )
                 rgb = out["rgb_coarse"]
@@ -455,4 +504,4 @@ class NeRFRenderer:
             yield np.asarray(pending.popleft())
 
     def _build_batch_render_fn(self) -> None:
-        self._render_batch_jit = jax.jit(self._render_c2w_batch)
+        self._render_batch_jit = jax.jit(self._frozen_batch_body())

@@ -235,11 +235,15 @@ def prepare_kernel_params(
         w_unit = quant.w_max[i] / 127.0
         raw = w_unit * in_unit
         if w_skip_t is not None:
-            # Match the skip dot's scale to raw via a right-shift: the
+            # Match the skip dot's scale to raw via a power-of-2 shift: the
             # skip weight unit raw * 2^-j / feat_unit stays >= the true
-            # |w| max (j floored), so no skip weight clips.
+            # |w| max (j floored), so no skip weight clips. j may be
+            # NEGATIVE (checkpoints whose trunk activations are small
+            # relative to their skip weights) — the kernel then LEFT-shifts
+            # the skip accumulator; clamped at -8 (skip_acc <= ~2^20, so
+            # <= 8 bits of headroom stay overflow-safe in int32).
             skip_ideal = quant.skip_w_max[len(w_skip_enc)] / 127.0 * feat_unit
-            j = max(0, math.floor(math.log2(raw / skip_ideal)))
+            j = max(-8, math.floor(math.log2(raw / skip_ideal)))
             skip_unit = raw / (2.0**j) / feat_unit
             skip_shift.append(j)
             w_skip_enc.append(quantize_w(w_skip_t, skip_unit))
@@ -443,11 +447,12 @@ def _trunk(
                 skip_acc = jnp.dot(
                     w_skip_enc[skip_i], feat, preferred_element_type=jnp.int32
                 )
-                acc = acc + (
-                    skip_acc >> skip_shift[skip_i]
-                    if skip_shift[skip_i] > 0
-                    else skip_acc
-                )
+                j = skip_shift[skip_i]
+                if j > 0:
+                    skip_acc = skip_acc >> j
+                elif j < 0:
+                    skip_acc = skip_acc << (-j)
+                acc = acc + skip_acc
                 skip_i += 1
             pre = acc + b_layers[i]
             if i < n - 1 or int8_out:
@@ -949,9 +954,11 @@ def render_rays_fused(
 
     weights = weights_t.T
     n_rays = weights_t.shape[1]
+    # The fused kernel's deterministic quantiles divide by n_importance - 1
+    # (linspace semantics); n_importance < 2 takes the XLA fallback.
     imp_tile = next(
         (tl for tl in (256, 512, 128) if n_rays % tl == 0), None
-    )
+    ) if eval_settings.n_importance >= 2 else None
     if imp_tile is not None:
         z_fine = importance_merge_pallas(
             weights_t,

@@ -123,6 +123,12 @@ def importance_merge_pallas(
     `merge_sorted_z(z, sample_pdf(z_mid, w[1:-1], I, deterministic=True))`.
     """
     s, r = z_t.shape
+    if n_importance < 2:
+        raise ValueError(
+            "importance_merge_pallas needs n_importance >= 2 (deterministic "
+            "quantiles are linspace(0, 1, n_importance)); use the XLA "
+            "sample_pdf path for fewer"
+        )
     if r % ray_tile != 0:
         raise ValueError(f"ray count {r} not divisible by ray_tile {ray_tile}")
     kernel = functools.partial(

@@ -345,17 +345,27 @@ class Trainer:
             return
 
         log = self._config.logging
+        # Only intervals whose actions can actually fire count as
+        # boundaries — a TensorBoard cadence with no writer would otherwise
+        # chop dispatches for nothing.
         intervals = [
             v
-            for v in (
-                log.step_log_print,
-                log.step_log_tensorboard,
-                log.step_render_train,
-                log.step_render_test,
-                log.step_save_ckpt,
+            for v, active in (
+                (log.step_log_print, True),
+                (log.step_log_tensorboard, self._tb is not None),
+                (log.step_render_train, True),
+                (log.step_render_test, True),
+                (log.step_save_ckpt, True),
             )
-            if v > 0
+            if v > 0 and active
         ]
+        if intervals and min(intervals) < K:
+            print(
+                f"[Trainer] steps_per_call={K} is limited by the "
+                f"{min(intervals)}-step logging cadence; raise the logging "
+                f"intervals (the train CLI's --steps-per-call stretches the "
+                f"print cadence automatically) to get full scanned batches"
+            )
         i = start_step
         while i < total:
             self.step(i)

@@ -21,10 +21,11 @@ R, S, I = 640 * 480, 64, 128
 
 
 def timed(name, fn, *args, n=10):
-    out = jax.block_until_ready(fn(*args))
+    out = jax.block_until_ready(fn(*args))  # compile
     start = time.perf_counter()
     for _ in range(n):
-        out = jax.block_until_ready(fn(*args))
+        out = fn(*args)
+    float(out)  # drain the in-order queue (CLAUDE.md timing note)
     print(f"{name:38s} {(time.perf_counter() - start) / n * 1000.0:8.2f} ms",
           flush=True)
     return out
@@ -38,7 +39,9 @@ def main() -> None:
 
     for tile in (256, 512, 1024, 2048):
         fn = jax.jit(
-            lambda wt, zt, t=tile: importance_merge_pallas(wt, zt, I, ray_tile=t)
+            lambda wt, zt, t=tile: importance_merge_pallas(
+                wt, zt, I, ray_tile=t
+            ).sum()
         )
         timed(f"importance+merge fused tile={tile}", fn, w, z)
 

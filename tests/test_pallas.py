@@ -355,3 +355,55 @@ def test_single_pass_preview_matches_jnp_coarse_only(params):
     np.testing.assert_allclose(
         rgb, np.asarray(ref["rgb_coarse"]), atol=5e-3
     )
+
+
+def test_fused_render_single_importance_sample(params):
+    """n_importance=1 must route to the XLA sampling fallback instead of
+    crashing the fused quantile kernel (its deterministic u divides by
+    n_importance - 1)."""
+    settings = RenderSettings(n_samples=16, n_importance=1)
+    rays = create_rays(jnp.eye(4)[None], 8, 16, 8.0, 8.0, 7.5, 3.5, 0.5, 4.0).reshape(128)
+    rgb = np.asarray(render_rays_fused(
+        params, rays, settings, spec=SPEC, ray_tile=128, interpret=True
+    ))
+    assert rgb.shape == (128, 3) and np.all(np.isfinite(rgb))
+    ref = render_ray_bundle(params, rays, settings.for_eval(), spec=SPEC, full_outputs=False)
+    np.testing.assert_allclose(rgb, np.asarray(ref["rgb_fine"]), atol=5e-3)
+
+
+def test_int8_negative_skip_shift_no_clipping(params):
+    """Checkpoints whose trunk activations are small relative to the skip
+    weights need a NEGATIVE skip shift (left-shifted skip accumulator) —
+    the old max(0, j) clamp silently saturated skip weights instead."""
+    from nerf_workspaces_explorer_tpu.ops.quantize import calibrate_model_quant
+
+    weird = jax.tree.map(lambda x: x, params)
+    for net in weird.values():
+        # Shrink trunk weights (small activations) but boost the skip-layer
+        # encoding weights -> skip_ideal > raw.
+        for i, layer in enumerate(net["pts"]):
+            net["pts"][i] = {
+                "w": layer["w"] * (0.25 if i > 0 else 1.0),
+                "b": layer["b"] * 0.25,
+            }
+        skip_layer = net["pts"][SPEC.skips[0] + 1]
+        w = skip_layer["w"]
+        net["pts"][SPEC.skips[0] + 1] = {
+            "w": w.at[SPEC.width:].set(w[SPEC.width:] * 16.0),
+            "b": skip_layer["b"],
+        }
+    quant = calibrate_model_quant(weird, SPEC, box=4.0)
+    kp = prepare_kernel_params(weird["fine"], SPEC, quant=quant["fine"])
+    assert any(j < 0 for j in kp.skip_shift), kp.skip_shift
+
+    settings = RenderSettings(n_samples=16, n_importance=16)
+    rays = create_rays(jnp.eye(4)[None], 8, 16, 8.0, 8.0, 7.5, 3.5, 0.5, 4.0).reshape(128)
+    rgb_q = np.asarray(render_rays_fused(
+        weird, rays, settings, spec=SPEC, ray_tile=128, interpret=True,
+        quant=quant,
+    ))
+    ref = render_ray_bundle(weird, rays, settings.for_eval(), spec=SPEC, full_outputs=False)
+    err = np.abs(rgb_q - np.asarray(ref["rgb_fine"]))
+    assert np.all(np.isfinite(rgb_q))
+    assert err.mean() < 4e-3, err.mean()
+    assert err.max() < 6e-2, err.max()
