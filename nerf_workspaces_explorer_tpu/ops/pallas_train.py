@@ -42,15 +42,11 @@ from nerf_workspaces_explorer_tpu.ops.pallas_render import (
     _enc_dim,
     _encoding_permutation,
     _freqs_from_input_ch,
+    _permute_pad_in_rows as _perm_pad,
     _phase_scales,
 )
 
 DEFAULT_ROW_TILE = 2048
-
-
-def _perm_pad(w: jnp.ndarray, perm: np.ndarray) -> jnp.ndarray:
-    gather = np.maximum(perm, 0)
-    return w[gather] * (perm >= 0).astype(w.dtype)[:, None]
 
 
 def _inverse_perm_rows(dwk_t: jnp.ndarray, perm: np.ndarray, n_ref_rows: int) -> jnp.ndarray:
@@ -63,9 +59,16 @@ def _inverse_perm_rows(dwk_t: jnp.ndarray, perm: np.ndarray, n_ref_rows: int) ->
 
 
 def _build_kernel_inputs(
-    params: Dict[str, Any], spec: NerfMLPSpec, dtype=jnp.bfloat16
+    params: Dict[str, Any], spec: NerfMLPSpec, dtype=jnp.bfloat16,
+    *, with_transposed: bool = True,
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, Any]]:
-    """Named kernel-layout arrays + static meta. Shared by fwd and bwd."""
+    """Named kernel-layout arrays + static meta. Shared by fwd and bwd.
+
+    `with_transposed=False` (the forward pass) omits the `*_t` weight
+    transposes — only the backward kernel's gradient chain reads them, and
+    shipping them to the fwd kernel doubled its VMEM weight footprint.
+    w0 never needs a transpose: the trunk backward stops its g_h chain at
+    layer 1 (input gradients are discarded)."""
     pts_freqs = _freqs_from_input_ch(spec.input_ch)
     view_freqs = _freqs_from_input_ch(spec.input_ch_views)
     pts_perm = _encoding_permutation(pts_freqs, _enc_dim(pts_freqs))
@@ -85,28 +88,33 @@ def _build_kernel_inputs(
         else:
             wk = w.T
         inputs[f"w{i}"] = cast(wk)
-        inputs[f"w{i}_t"] = cast(wk.T)
+        if with_transposed and i > 0:
+            inputs[f"w{i}_t"] = cast(wk.T)
         inputs[f"b{i}"] = f32(layer["b"])[:, None]
 
     w_feature = f32(params["feature"]["w"]).T
     inputs["w_feature"] = cast(w_feature)
-    inputs["w_feature_t"] = cast(w_feature.T)
+    if with_transposed:
+        inputs["w_feature_t"] = cast(w_feature.T)
     inputs["b_feature"] = f32(params["feature"]["b"])[:, None]
     w_alpha = jnp.zeros((8, width), jnp.float32).at[0:1].set(f32(params["alpha"]["w"]).T)
     inputs["w_alpha"] = cast(w_alpha)
-    inputs["w_alpha_t"] = cast(w_alpha.T)
+    if with_transposed:
+        inputs["w_alpha_t"] = cast(w_alpha.T)
     inputs["b_alpha"] = jnp.zeros((8, 1), jnp.float32).at[0, 0].set(
         f32(params["alpha"]["b"])[0]
     )
     w_view = f32(params["views"][0]["w"])
     w_view_h = w_view[:width].T
     inputs["w_view_h"] = cast(w_view_h)
-    inputs["w_view_h_t"] = cast(w_view_h.T)
+    if with_transposed:
+        inputs["w_view_h_t"] = cast(w_view_h.T)
     inputs["w_view_enc"] = cast(_perm_pad(w_view[width:], view_perm).T)
     inputs["b_view"] = f32(params["views"][0]["b"])[:, None]
     w_rgb = jnp.zeros((8, width // 2), jnp.float32).at[:3].set(f32(params["rgb"]["w"]).T)
     inputs["w_rgb"] = cast(w_rgb)
-    inputs["w_rgb_t"] = cast(w_rgb.T)
+    if with_transposed:
+        inputs["w_rgb_t"] = cast(w_rgb.T)
     inputs["b_rgb"] = jnp.zeros((8, 1), jnp.float32).at[:3, 0].set(f32(params["rgb"]["b"]))
 
     inputs["pts_phase"] = jnp.asarray(_phase_scales(pts_freqs, _enc_dim(pts_freqs), 10.0)).T
@@ -319,7 +327,8 @@ def _run_fwd(inputs, meta, pts_t, views_t, row_tile, interpret):
         return pl.BlockSpec((rows, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     in_specs = [tile_spec(3), tile_spec(3)] + [
-        pl.BlockSpec(v.shape, lambda i: (0,) * v.ndim, memory_space=pltpu.VMEM)
+        # bind ndim per-value (a bare `v.ndim` would late-bind to the last v)
+        pl.BlockSpec(v.shape, lambda i, nd=v.ndim: (0,) * nd, memory_space=pltpu.VMEM)
         for v in inputs.values()
     ]
     out = pl.pallas_call(
@@ -349,7 +358,8 @@ def _run_bwd(inputs, meta, pts_t, views_t, g_raw, row_tile, interpret):
         return pl.BlockSpec((rows, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     in_specs = [tile_spec(3), tile_spec(3), tile_spec(8)] + [
-        pl.BlockSpec(v.shape, lambda i: (0,) * v.ndim, memory_space=pltpu.VMEM)
+        # bind ndim per-value (a bare `v.ndim` would late-bind to the last v)
+        pl.BlockSpec(v.shape, lambda i, nd=v.ndim: (0,) * nd, memory_space=pltpu.VMEM)
         for v in inputs.values()
     ]
     out_shapes = [jax.ShapeDtypeStruct(shapes[g], jnp.float32) for g in grad_names]
@@ -426,7 +436,7 @@ def make_field_train_fn(
         return _field_fwd(params, pts, viewdirs)[0]
 
     def _field_fwd(params, pts, viewdirs):
-        inputs, meta = _build_kernel_inputs(params, spec)
+        inputs, meta = _build_kernel_inputs(params, spec, with_transposed=False)
         raw_t = _run_fwd(
             inputs, meta, pts.T.astype(jnp.float32), viewdirs.T.astype(jnp.float32),
             row_tile, interpret,

@@ -98,6 +98,17 @@ def _eval_network(
     if settings.field_impl == "pallas":
         assert settings.use_view_dirs and viewdirs is not None
         assert not show_endpoint, "endpoint features use the xla field path"
+        # The fused field derives its encoding from spec.input_ch* — fail
+        # loudly if the settings disagree (the xla path would error on the
+        # dot shapes; silence here would train with the wrong frequencies).
+        assert 3 * (1 + 2 * settings.num_freqs_3d) == spec.input_ch, (
+            f"settings.num_freqs_3d={settings.num_freqs_3d} inconsistent "
+            f"with spec.input_ch={spec.input_ch}"
+        )
+        assert 3 * (1 + 2 * settings.num_freqs_2d) == spec.input_ch_views, (
+            f"settings.num_freqs_2d={settings.num_freqs_2d} inconsistent "
+            f"with spec.input_ch_views={spec.input_ch_views}"
+        )
         from nerf_workspaces_explorer_tpu.ops.pallas_train import make_field_train_fn
 
         field = make_field_train_fn(spec)

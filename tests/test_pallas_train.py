@@ -95,3 +95,45 @@ def test_train_step_with_pallas_field_converges():
         assert losses[-1] < losses[0]
     finally:
         pallas_train.make_field_train_fn = orig
+
+
+def test_forward_and_gradients_with_active_skip():
+    """The flagship config exercises the skip-concat path every step; test
+    it explicitly (the module SPEC's default skips=(4,) is vacuous at
+    depth=4, leaving wskip/dwskip untested otherwise)."""
+    spec = NerfMLPSpec(
+        depth=4, width=64, input_ch=39, input_ch_views=15, skips=(1,)
+    )
+    params = init_nerf_params(jax.random.PRNGKey(3), spec)
+    pts = jax.random.normal(jax.random.PRNGKey(4), (256, 3)) * 2.0
+    vd = jax.random.normal(jax.random.PRNGKey(5), (256, 3))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+    field = make_field_train_fn(spec, row_tile=128, interpret=True)
+
+    def ref(params, pts, vd):
+        enc = positional_encoding(pts, 6, 10.0)
+        enc_v = positional_encoding(vd, 2, 1.0)
+        return apply_nerf_mlp(params, spec, enc, enc_v)
+
+    raw_k = np.asarray(field(params, pts, vd))
+    raw_r = np.asarray(ref(params, pts, vd))
+    np.testing.assert_allclose(raw_k, raw_r, atol=5e-3)
+
+    def loss_k(p):
+        return jnp.mean(field(p, pts, vd) ** 2)
+
+    def loss_r(p):
+        return jnp.mean(ref(p, pts, vd) ** 2)
+
+    gk = jax.grad(loss_k)(params)
+    gr = jax.grad(loss_r)(params)
+    # The skip layer's gradient splits into the h-block and the encoded
+    # skip block — both must match the reference.
+    skip_layer = spec.skips[0] + 1
+    for i in range(spec.depth):
+        np.testing.assert_allclose(
+            np.asarray(gk["pts"][i]["w"]), np.asarray(gr["pts"][i]["w"]),
+            atol=8e-2, err_msg=f"layer {i} (skip layer = {skip_layer})",
+        )
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=8e-2)
