@@ -23,6 +23,13 @@ def main() -> None:
         "serving mode; TPU only, quality-gated at SSIM >= 0.99)",
     )
     parser.add_argument(
+        "--preset", choices=("reference", "fast"), default="reference",
+        help="fine-pass sample placement: reference (merged 64+128 samples, "
+        "identical to the reference renderer) or fast (importance-only "
+        "fine pass — ~2x fewer fine MLP evals, quality-gated by "
+        "scripts/validate_quality.py --fast-preset)",
+    )
+    parser.add_argument(
         "--random-init", action="store_true",
         help="run with random weights when no checkpoints exist (demo mode)",
     )
@@ -30,7 +37,7 @@ def main() -> None:
 
     from nerf_workspaces_explorer_tpu.app.workspace import make_workspaces
 
-    workspaces = make_workspaces(precision=args.precision)
+    workspaces = make_workspaces(precision=args.precision, preset=args.preset)
     if args.random_init:
         for workspace in workspaces:
             original = workspace.initialize_models

@@ -120,6 +120,13 @@ class WorkspaceExplorer(_DarkWindow):
         self.workspace = workspace
         self.state = CameraViewState()
         workspace.initialize_models()
+        # Pay the preview + full-render compiles here (the model-load step,
+        # where a pause is expected) instead of on the first click's main-
+        # thread render. Best-effort: a warmup failure must not block the UI.
+        try:
+            workspace.renderer.warmup()
+        except Exception:
+            pass
 
         self.setWindowTitle("Workspace Details")
         self.setFixedSize(1000, 800)

@@ -86,6 +86,13 @@ class WorkspaceExplorer:
         self.workspace = workspace
         self.state = CameraViewState()
         workspace.initialize_models()
+        # Pay the preview + full-render compiles here (the model-load step,
+        # where a pause is expected) instead of on the first click's main-
+        # thread render. Best-effort: a warmup failure must not block the UI.
+        try:
+            workspace.renderer.warmup()
+        except Exception:
+            pass
 
         root.title("Workspace Details")
         root.geometry("1000x800")

@@ -45,6 +45,7 @@ class Workspace(metaclass=ABCMeta):
         ckpt_path: Optional[str] = None,
         renderer: Optional[NeRFRenderer] = None,
         precision: str = "parity",
+        preset: str = "reference",
     ) -> None:
         self._name = name
         self._floor_plan_scale = floor_plan_scale
@@ -59,7 +60,8 @@ class Workspace(metaclass=ABCMeta):
             renderer
             if renderer is not None
             else NeRFRenderer(
-                self._office_name, self._model_path, precision=precision
+                self._office_name, self._model_path, precision=precision,
+                preset=preset,
             )
         )
 

@@ -36,6 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
         choices=("parity", "fast", "int8"),
     )
     parser.add_argument(
+        "--preset", type=str, default="reference",
+        choices=("reference", "fast"),
+        help="fine-pass placement: reference (merged 64+128, identical to "
+        "the reference renderer) or fast (importance-only fine pass; "
+        "quality-gated by scripts/validate_quality.py --fast-preset)",
+    )
+    parser.add_argument(
         "--random-init",
         action="store_true",
         help="render from random weights when no checkpoint exists (smoke tests)",
@@ -82,13 +89,15 @@ def main(argv=None) -> None:
         cfg = dataclasses.replace(cfg, experiment=experiment, rendering=rendering)
         renderer = NeRFRenderer(
             office, args.ckpt, config=cfg, precision=args.precision,
+            preset=args.preset,
             # The fused kernel implements the full coarse+fine pipeline;
             # coarse-only runs through the jnp path.
             use_pallas=False if args.coarse_only else None,
         )
 
     workspace = WORKSPACE_CLASSES[office](
-        ckpt_path=args.ckpt, precision=args.precision, renderer=renderer
+        ckpt_path=args.ckpt, precision=args.precision, preset=args.preset,
+        renderer=renderer,
     )
     workspace.initialize_models(allow_random_init=args.random_init)
 

@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
         "rendering and training, changes sample placement vs the reference)",
     )
     parser.add_argument(
+        "--fast-preset", action="store_true",
+        help="train the fine net on the importance-only sample placement "
+        "(merge_coarse=False) it will see under the fast serving preset",
+    )
+    parser.add_argument(
         "--steps-per-call", type=int, default=1, metavar="K",
         help="advance K optimizer steps per device dispatch (lax.scan); "
         "logging/eval/ckpt cadences still fire at their exact steps",
@@ -121,6 +126,7 @@ def main(argv=None) -> None:
         save_dir=args.save_dir,
         field_impl="pallas" if args.fused_field else "xla",
         use_proposal=args.proposal,
+        merge_coarse=not args.fast_preset,
         steps_per_call=args.steps_per_call,
     )
     trainer.setup()

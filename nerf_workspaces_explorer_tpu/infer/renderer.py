@@ -25,6 +25,7 @@ TPU-native design:
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -79,8 +80,13 @@ def spec_from_config(cfg: FrameworkConfig) -> NerfMLPSpec:
 
 # Compiled render-fn cache shared across NeRFRenderer instances (see
 # NeRFRenderer._jit_cache_key). Keys are fully-static configs; values are
-# (float_jit, uint8_jit) pairs whose params/pose are arguments.
-_RENDER_JIT_CACHE: Dict[Any, Any] = {}
+# (float_jit, uint8_jit) pairs whose params/pose are arguments. LRU with a
+# size cap: every int8 recalibration (set_params on a live renderer) mints
+# a new quant key, so an unbounded dict would leak compiled programs over a
+# long GUI/live-training session. Evicted entries stay valid for renderers
+# that already hold them — they just stop being shared.
+_RENDER_JIT_CACHE: "OrderedDict[Any, Any]" = OrderedDict()
+_RENDER_JIT_CACHE_MAX = 16
 
 def _render_c2w_batch_impl(
     params: Dict[str, Any],
@@ -96,12 +102,15 @@ def _render_c2w_batch_impl(
     quant,
     early_stop_eps: float,
     sort_rays: bool,
+    full_outputs: bool = False,
 ) -> jnp.ndarray:
     """Traceable pose-batch -> frames body shared by the single-frame and
     batched jits (pure: all statics are explicit arguments so jitted
     programs never capture a live renderer). Dispatch: fused Pallas kernel
     (TPU production path), mesh-sharded rays, or the chunked jnp
-    pipeline."""
+    pipeline. With `full_outputs` returns the reference's render dict
+    (rgb/disp/acc/depth — …inference_handler.py:256-268) instead of the
+    rgb frame alone (the --nan-debug scan surface)."""
     h, w = cfg.experiment.image_height, cfg.experiment.image_width
     near, far = cfg.rendering.depth_range
     matmul_precision = "highest" if precision == "parity" else "default"
@@ -118,11 +127,20 @@ def _render_c2w_batch_impl(
                 render_rays_fused,
             )
 
-            rgb = render_rays_fused(
+            fused = render_rays_fused(
                 params, rays, settings, spec=spec,
                 quant=quant, early_stop_eps=early_stop_eps,
-                sort_rays=sort_rays,
+                sort_rays=sort_rays, full=full_outputs,
             )
+            if full_outputs:
+                out = {
+                    "rgb_fine": fused.rgb,
+                    "disp_fine": fused.disp[:, None],
+                    "acc_fine": fused.acc[:, None],
+                    "depth_fine": fused.depth[:, None],
+                }
+            else:
+                rgb = fused
         else:
             if precision == "fast":
                 rays = jax.tree.map(lambda x: x.astype(jnp.bfloat16), rays)
@@ -132,13 +150,19 @@ def _render_c2w_batch_impl(
                 )
 
                 out = shard_render(
-                    params, rays, settings, mesh, spec=spec, chunk=chunk
+                    params, rays, settings, mesh, spec=spec, chunk=chunk,
+                    early_stop_eps=early_stop_eps, sort_rays=sort_rays,
                 )
             else:
                 out = render_rays_chunked(
                     params, rays, settings, spec=spec, chunk=chunk
                 )
             rgb = out.get("rgb_fine", out.get("rgb_coarse"))
+        if full_outputs:
+            return {
+                k: v.astype(jnp.float32).reshape(n, h, w, *v.shape[1:])
+                for k, v in out.items()
+            }
         return rgb.astype(jnp.float32).reshape(n, h, w, 3)
 
 
@@ -160,6 +184,8 @@ class NeRFRenderer:
         nan_debug: bool = False,
         early_stop_eps: float = 1e-3,
         sort_rays: bool = False,
+        preset: str = "reference",
+        n_importance: Optional[int] = None,
     ) -> None:
         self._office_name = office_name
         self._nan_debug = nan_debug
@@ -195,10 +221,23 @@ class NeRFRenderer:
         self._settings = settings_from_config(self._config).for_eval()
         if use_proposal:
             self._settings = self._settings._replace(use_proposal=True)
+        if preset not in ("reference", "fast"):
+            raise ValueError(f"unknown preset {preset!r} (reference|fast)")
+        self._preset = preset
+        if preset == "fast":
+            # Quality-gated fast serving preset: the fine pass evaluates
+            # ONLY the importance samples (the reference re-evaluates the
+            # uniform coarse depths through the fine net purely to mirror
+            # sort(cat(z_vals, z_samples)), …inference_handler.py:243).
+            # Gate: scripts/validate_quality.py --fast-preset.
+            self._settings = self._settings._replace(merge_coarse=False)
+        if n_importance is not None:
+            self._settings = self._settings._replace(n_importance=n_importance)
         self._params: Optional[Dict[str, Any]] = None
         self._render_jit = None
         self._render_uint8_jit = None
         self._render_batch_jit = None
+        self._render_full_jit = None
         self._preview_jits: Dict[int, Any] = {}
 
     @property
@@ -304,10 +343,12 @@ class NeRFRenderer:
         # Weights (and so int8 calibration) may have changed: drop every
         # jit built against the previous state.
         self._render_batch_jit = None
+        self._render_full_jit = None
         self._preview_jits = {}
         key = self._jit_cache_key()
         cached = _RENDER_JIT_CACHE.get(key) if key is not None else None
         if cached is not None:
+            _RENDER_JIT_CACHE.move_to_end(key)
             self._render_jit, self._render_uint8_jit = cached
             return
         body = self._frozen_batch_body()
@@ -322,6 +363,8 @@ class NeRFRenderer:
         )
         if key is not None:
             _RENDER_JIT_CACHE[key] = (self._render_jit, self._render_uint8_jit)
+            while len(_RENDER_JIT_CACHE) > _RENDER_JIT_CACHE_MAX:
+                _RENDER_JIT_CACHE.popitem(last=False)
 
     def _frozen_batch_body(self):
         """Snapshot the current static render state into a pure callable.
@@ -351,6 +394,28 @@ class NeRFRenderer:
     def _render_c2w_batch(self, params: Dict[str, Any], c2ws: jnp.ndarray) -> jnp.ndarray:
         return self._frozen_batch_body()(params, c2ws)
 
+    def warmup(self, preview_n_samples: Sequence[int] = (64,)) -> None:
+        """Compile the full-render and preview programs on a dummy pose.
+
+        GUI first-paint protection: without this the first floor-plan click
+        pays the Pallas AOT compiles (minutes on a cold process) for both
+        the preview and the full frame on the Qt/Tk main thread. Called
+        from the explorer constructors right after initialize_models() —
+        the step where the user already expects a load pause. Compiled
+        programs are shared across workspaces via _RENDER_JIT_CACHE, so
+        only the first workspace open pays.
+        """
+        if self._render_uint8_jit is None:
+            raise RuntimeError("initialize_models() must be called before warmup")
+        pose = np.eye(4, dtype=np.float32)
+        for n in preview_n_samples:
+            if n not in self._preview_jits:
+                self._preview_jits[n] = self._build_preview_fn(n)
+            self._preview_jits[n](
+                self._params, jnp.asarray(pose)
+            ).block_until_ready()
+        self.render_pose_uint8(pose).block_until_ready()
+
     def render_pose(self, c2w: np.ndarray) -> jax.Array:
         """Render one camera pose; returns a device array [H, W, 3] float32
         (non-blocking — materialize with np.asarray to wait)."""
@@ -373,16 +438,34 @@ class NeRFRenderer:
         """
         pose = poses_from_coordinates(init_coordinates, [coordinates])[0]
         if self._nan_debug:
-            # The reference scans every rendered output dict for NaN/Inf
+            # The reference scans EVERY rendered output for NaN/Inf
             # (…inference_handler.py:273-276); opt-in here because the scan
-            # needs the pre-quantization float frame on the host.
+            # needs the pre-quantization float outputs on the host. The
+            # full-outputs program (rgb/disp/acc/depth) is built lazily —
+            # it is a different compile from the rgb-only product path.
             from nerf_workspaces_explorer_tpu.obs.debug import (
                 scan_outputs_finite,
             )
 
-            rgb = np.asarray(self.render_pose(pose))
-            scan_outputs_finite({"rgb_fine": rgb})
-            return to8b(rgb)
+            if self._render_full_jit is None:
+                import functools
+
+                body = functools.partial(
+                    self._frozen_batch_body(), full_outputs=True
+                )
+                self._render_full_jit = jax.jit(
+                    lambda params, c2w: jax.tree.map(
+                        lambda v: v[0], body(params, c2w[None])
+                    )
+                )
+            out = jax.tree.map(
+                np.asarray,
+                self._render_full_jit(
+                    self._params, jnp.asarray(pose, dtype=jnp.float32)
+                ),
+            )
+            scan_outputs_finite(out)
+            return to8b(out["rgb_fine"])
         return np.asarray(self.render_pose_uint8(pose))
 
     def render_poses(self, c2ws: Sequence[np.ndarray]) -> np.ndarray:

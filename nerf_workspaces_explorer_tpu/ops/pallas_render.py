@@ -243,7 +243,23 @@ def prepare_kernel_params(
             # the skip accumulator; clamped at -8 (skip_acc <= ~2^20, so
             # <= 8 bits of headroom stay overflow-safe in int32).
             skip_ideal = quant.skip_w_max[len(w_skip_enc)] / 127.0 * feat_unit
-            j = max(-8, math.floor(math.log2(raw / skip_ideal)))
+            j_raw = math.floor(math.log2(raw / skip_ideal))
+            if j_raw < -8:
+                # Below -8 the skip weights would need > 8 extra bits of
+                # left-shift headroom; quantize_w's +-127 clip would then
+                # silently saturate them. Fail loudly so extreme checkpoints
+                # fall back to bf16 instead of rendering wrong.
+                import warnings
+
+                warnings.warn(
+                    f"int8 calibration out of range for skip layer "
+                    f"{len(w_skip_enc)}: needs shift {j_raw} < -8; skip "
+                    f"weights will saturate — use bf16/parity precision "
+                    f"for this checkpoint",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            j = max(-8, j_raw)
             skip_unit = raw / (2.0**j) / feat_unit
             skip_shift.append(j)
             w_skip_enc.append(quantize_w(w_skip_t, skip_unit))
@@ -872,6 +888,7 @@ class FusedRenderOutputs(NamedTuple):
     rgb: jnp.ndarray  # [R, 3]
     depth: jnp.ndarray  # [R]
     acc: jnp.ndarray  # [R]
+    disp: jnp.ndarray  # [R] inverse depth (reference model_utils.py:88-97)
 
 
 def render_rays_fused(
@@ -966,6 +983,7 @@ def render_rays_fused(
             eval_settings.n_importance,
             ray_tile=imp_tile,
             interpret=interpret,
+            merge=eval_settings.merge_coarse,
         )
     else:
         # XLA fallback for ray counts not divisible by a lane tile.
@@ -975,7 +993,12 @@ def render_rays_fused(
             z_mid, weights[..., 1:-1], eval_settings.n_importance,
             deterministic=True,
         )
-        z_fine = merge_sorted_z(z_c, jax.lax.stop_gradient(z_samples)).T
+        z_samples = jax.lax.stop_gradient(z_samples)
+        if eval_settings.merge_coarse:
+            z_fine = merge_sorted_z(z_c, z_samples).T
+        else:
+            # Deterministic inverse-CDF samples are already ascending.
+            z_fine = z_samples.T
 
     inv_perm = None
     if sort_rays and early_stop_eps > 0.0:
@@ -1015,7 +1038,12 @@ def render_rays_fused(
     if eval_settings.white_background:
         rgb = rgb + (1.0 - maps[4:5].T)
     if full:
-        return FusedRenderOutputs(rgb=rgb, depth=maps[3], acc=maps[4])
+        depth, acc = maps[3], maps[4]
+        # disp = 1 / max(1e-10, depth / acc): one VPU op on [R] at the
+        # epilogue (reference disp_map, model_utils.py:88-97; same guarded
+        # form as render/volume.py composite_rays).
+        disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
+        return FusedRenderOutputs(rgb=rgb, depth=depth, acc=acc, disp=disp)
     return rgb
 
 

@@ -44,7 +44,9 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def _importance_merge_kernel(w_ref, z_ref, out_ref, *, n_importance: int):
+def _importance_merge_kernel(
+    w_ref, z_ref, out_ref, *, n_importance: int, merge: bool = True
+):
     z = z_ref[:]  # [S, T] coarse depths, ascending along sublanes
     w = w_ref[:]  # [S, T] coarse weights
     s, t = z.shape
@@ -62,12 +64,14 @@ def _importance_merge_kernel(w_ref, z_ref, out_ref, *, n_importance: int):
     tri = (ci < ri).astype(jnp.float32)
     cdf = jnp.dot(tri, pdf, preferred_element_type=jnp.float32)  # [S-1, T]
 
-    # Quantiles in DESCENDING row order (row q holds u = (I-1-q)/(I-1)) so
-    # the merge input below is bitonic without a reverse.
+    # Quantile row order: DESCENDING when merging (row q holds
+    # u = (I-1-q)/(I-1)) so the merge input below is bitonic without a
+    # reverse; ASCENDING in importance-only mode (the inverse CDF is
+    # monotone in u, so ascending u yields the sorted samples directly —
+    # no merge network at all).
     qio = jax.lax.broadcasted_iota(jnp.int32, (n_importance, t), 0)
-    u = (n_importance - 1 - qio).astype(jnp.float32) * (
-        1.0 / (n_importance - 1)
-    )  # [I, T]
+    qi = qio if not merge else (n_importance - 1 - qio)
+    u = qi.astype(jnp.float32) * (1.0 / (n_importance - 1))  # [I, T]
 
     # Interval-accumulation inverse CDF. u in [cdf_b, cdf_{b+1}) interpolates
     # bin b; empty (tied) intervals contribute to no quantile, reproducing
@@ -87,6 +91,12 @@ def _importance_merge_kernel(w_ref, z_ref, out_ref, *, n_importance: int):
         m = (u >= cdf[b : b + 1]) & (u < cdf[b + 1 : b + 2])
         z_s = z_s + jnp.where(m, icept[b : b + 1] + u * slope[b : b + 1], 0.0)
     z_s = z_s + jnp.where(u >= cdf[-1:], bins[-1:], 0.0)
+
+    if not merge:
+        # Importance-only (fast preset): ascending u already produced the
+        # sorted sample set — write it out and skip the merge network.
+        out_ref[:] = z_s
+        return
 
     # Bitonic merge: [z asc (S) | +inf pad | z_s desc (I)] is bitonic; the
     # log2(n) compare-exchange stages sort it ascending, +inf pad last.
@@ -114,6 +124,7 @@ def importance_merge_pallas(
     ray_tile: int = 256,  # fastest measured tile at frame scale (7.4 ms vs
     # 9.7 at 512 on a 640x480 frame, scripts/profile_coarse_stage.py)
     interpret: bool = False,
+    merge: bool = True,
 ) -> jnp.ndarray:
     """weights_t, z_t: [S, R] transposed coarse outputs (R % ray_tile == 0).
 
@@ -121,6 +132,11 @@ def importance_merge_pallas(
     coarse depths and the deterministic inverse-CDF importance samples —
     bit-compatible (up to f32 summation order in the CDF) with
     `merge_sorted_z(z, sample_pdf(z_mid, w[1:-1], I, deterministic=True))`.
+
+    With merge=False (the fast serving preset, RenderSettings.merge_coarse
+    == False) returns only the sorted importance samples
+    [n_importance, R] — equivalent to
+    `sample_pdf(z_mid, w[1:-1], I, deterministic=True)` (already ascending).
     """
     s, r = z_t.shape
     if n_importance < 2:
@@ -132,8 +148,9 @@ def importance_merge_pallas(
     if r % ray_tile != 0:
         raise ValueError(f"ray count {r} not divisible by ray_tile {ray_tile}")
     kernel = functools.partial(
-        _importance_merge_kernel, n_importance=n_importance
+        _importance_merge_kernel, n_importance=n_importance, merge=merge
     )
+    out_rows = s + n_importance if merge else n_importance
     return pl.pallas_call(
         kernel,
         grid=(r // ray_tile,),
@@ -142,10 +159,10 @@ def importance_merge_pallas(
             pl.BlockSpec((s, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (s + n_importance, ray_tile),
+            (out_rows, ray_tile),
             lambda i: (0, i),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((s + n_importance, r), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out_rows, r), jnp.float32),
         interpret=interpret,
     )(weights_t, z_t)

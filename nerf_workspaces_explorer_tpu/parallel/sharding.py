@@ -39,6 +39,8 @@ def shard_render(
     use_pallas: bool = False,
     interpret: bool = False,
     quant: Optional[Dict[str, Any]] = None,
+    early_stop_eps: float = 1e-3,
+    sort_rays: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Render a flat RayBundle with rays sharded across the mesh.
 
@@ -51,6 +53,9 @@ def shard_render(
         production multi-chip path: kernel per shard, zero collectives).
       quant: per-net int8 calibration (ops/quantize.py) for the fused path —
         the serving configuration's full-int8 kernels on every shard.
+      early_stop_eps, sort_rays: fused-kernel early-termination settings —
+        forwarded so mesh-sharded frames match single-chip NeRFRenderer
+        frames (which default eps to 1e-3) bit-for-bit and in cost.
     Returns:
       Output dict with leading dim N (same contract as render_rays_chunked).
     """
@@ -76,10 +81,12 @@ def shard_render(
             out = render_rays_fused(
                 params, local_rays, settings, spec=spec,
                 ray_tile=ray_tile, interpret=interpret, full=True,
-                quant=quant,
+                quant=quant, early_stop_eps=early_stop_eps,
+                sort_rays=sort_rays,
             )
             return {"rgb_fine": out.rgb, "depth_fine": out.depth[:, None],
-                    "acc_fine": out.acc[:, None]}
+                    "acc_fine": out.acc[:, None],
+                    "disp_fine": out.disp[:, None]}
         if shard <= chunk:
             return render_ray_bundle(
                 params, local_rays, settings.for_eval(), spec=spec,

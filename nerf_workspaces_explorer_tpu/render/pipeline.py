@@ -62,6 +62,14 @@ class RenderSettings(NamedTuple):
     # changes sample placement relative to the reference.
     use_proposal: bool = False
     proposal_num_freqs: int = 6
+    # Fine-pass sample placement (extension — the "fast" serving preset):
+    # True (default) reproduces the reference's sort(cat(z_vals, z_samples))
+    # (…inference_handler.py:243) — the fine net re-evaluates all coarse
+    # depths. False evaluates ONLY the importance samples in the fine pass
+    # (n_samples + n_importance -> n_importance fine MLP evals per ray),
+    # the standard proposal-sampling placement (mip-NeRF 360); quality-
+    # gated by scripts/validate_quality.py --fast-preset.
+    merge_coarse: bool = True
 
     @property
     def deterministic_importance(self) -> bool:
@@ -209,7 +217,17 @@ def render_ray_bundle(
             deterministic=settings.deterministic_importance,
         )
         z_samples = jax.lax.stop_gradient(z_samples)
-        z_fine = merge_sorted_z(z_vals, z_samples)  # [R, S + I]
+        if settings.merge_coarse:
+            z_fine = merge_sorted_z(z_vals, z_samples)  # [R, S + I]
+        else:
+            # Fast preset: the fine net sees only the importance samples.
+            # Deterministic samples are already ascending (the inverse CDF
+            # is monotone in u); random (training) samples need the sort.
+            z_fine = (
+                z_samples
+                if settings.deterministic_importance
+                else jnp.sort(z_samples, axis=-1)
+            )
 
         pts_fine = (
             rays.origins[..., None, :] + rays.dirs[..., None, :] * z_fine[..., :, None]

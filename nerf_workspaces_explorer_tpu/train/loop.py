@@ -76,6 +76,7 @@ class Trainer:
         use_pallas: Optional[bool] = None,
         field_impl: str = "xla",
         use_proposal: bool = False,
+        merge_coarse: bool = True,
         steps_per_call: int = 1,
     ) -> None:
         self._office_name = office_name
@@ -103,6 +104,11 @@ class Trainer:
         self._settings = settings_from_config(cfg, train=True)
         if use_proposal:
             self._settings = self._settings._replace(use_proposal=True)
+        if not merge_coarse:
+            # Train the fine net on the importance-only sample placement it
+            # will see under the fast serving preset (render/pipeline.py
+            # RenderSettings.merge_coarse).
+            self._settings = self._settings._replace(merge_coarse=False)
 
         self._tb = (
             TensorboardWriter(

@@ -1,0 +1,99 @@
+"""Train the bench.py weight fixtures on the synthetic scene.
+
+Round-2 VERDICT: the benchmark rendered RANDOM-init weights (density
+everywhere), so early-termination behavior and int8 calibration statistics
+were not those of a trained scene with free space. This script trains two
+small checkpoints on the synthetic scene and saves them as repo fixtures:
+
+  assets/bench/synth_proposal.npz  — proposal(2x64) + fine(8x256), the
+                                     serving configuration bench.py times;
+  assets/bench/synth_hier.npz      — coarse+fine 8x256 (reference placement).
+
+Both train at the shipped office model config (8x256, 64+128 samples,
+1024 rays/step) on the 96x128 synthetic scene; bench.py renders them at
+640x480 with the scene's depth range (0.1, 6.0). Run on the TPU:
+
+  python scripts/make_bench_fixture.py [--steps 3000]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "..", "assets", "bench")
+
+
+def train_one(name, use_proposal, steps, out_dir):
+    from nerf_workspaces_explorer_tpu.core.config import (
+        ExperimentConfig,
+        FrameworkConfig,
+        LoggingConfig,
+        RenderingConfig,
+    )
+    from nerf_workspaces_explorer_tpu.data import make_synthetic_scene
+    from nerf_workspaces_explorer_tpu.infer.checkpoint import save_checkpoint
+    from nerf_workspaces_explorer_tpu.train import Trainer
+
+    h, w = 96, 128
+    cfg = FrameworkConfig(
+        experiment=ExperimentConfig(image_width=w, image_height=h),
+        rendering=RenderingConfig(depth_range=(0.1, 6.0)),
+        logging=LoggingConfig(
+            step_log_print=0,
+            step_log_tensorboard=2**31 - 1,
+            step_save_ckpt=0,
+            step_render_test=0,
+            step_render_train=0,
+        ),
+    )
+    train, test, _ = make_synthetic_scene(n_train=12, n_test=3, height=h, width=w)
+    trainer = Trainer(
+        f"bench_fixture_{name}",
+        cfg,
+        train_data=train,
+        test_data=test,
+        save_dir=os.path.join("/tmp/bench_fixture", name),
+        enable_tensorboard=False,
+        use_proposal=use_proposal,
+    )
+    trainer.setup()
+    for i in range(steps):
+        metrics = trainer.step(i)
+        if i % 500 == 0:
+            print(
+                f"[{name}] step {i}: loss {float(metrics['total_loss']):.5f} "
+                f"psnr_fine {float(metrics['psnr_fine']):.2f}",
+                flush=True,
+            )
+    path = os.path.join(out_dir, f"synth_{name}.npz")
+    save_checkpoint(
+        path,
+        trainer.params,
+        step=steps,
+        metadata={
+            "scene": "synthetic-96x128",
+            "depth_range": [0.1, 6.0],
+            "use_proposal": bool(use_proposal),
+        },
+    )
+    size_mb = os.path.getsize(path) / 1e6
+    print(f"[{name}] saved {path} ({size_mb:.1f} MB)")
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--steps", type=int, default=3000)
+    parser.add_argument("--out", type=str, default=FIXTURE_DIR)
+    args = parser.parse_args()
+    out = os.path.abspath(args.out)
+    os.makedirs(out, exist_ok=True)
+    train_one("proposal", True, args.steps, out)
+    train_one("hier", False, args.steps, out)
+
+
+if __name__ == "__main__":
+    main()

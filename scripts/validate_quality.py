@@ -116,7 +116,42 @@ def run_leg(name, use_proposal, train, test, cfg, args):
     print(f"[{name}] int8 fused vs jnp pipeline on trained weights: "
           f"max|err| {np.abs(rgb_int8 - rgb_jnp).max():.2e}, "
           f"SSIM {fidelity_int8:.5f} (target >= {args.min_fidelity})")
-    return {"psnr": psnr, "fidelity": fidelity, "fidelity_int8": fidelity_int8}
+
+    # Fast serving preset (round 3): importance-only fine pass at reduced
+    # sample counts, measured over ALL test views (the sample-placement
+    # change is scene-wide, not per-view). Gated in main() on the PSNR
+    # drop vs this leg's own reference-placement renders.
+    fast = {}
+    if args.fast_preset:
+        for n_imp in args.fast_n_importance:
+            fs = eval_settings._replace(merge_coarse=False, n_importance=n_imp)
+            f_psnrs, f_ssims = [], []
+            for i in range(len(test)):
+                view_rays = RayBundle(*(f[i] for f in trainer.rays_test))
+                rgb_fast = np.asarray(
+                    render_rays_fused(
+                        trainer.params, view_rays, fs, spec=trainer._spec,
+                        quant=quant,
+                    )
+                ).reshape(h, w, 3)
+                mse = float(np.mean((rgb_fast - test.rgb[i]) ** 2))
+                f_psnrs.append(-10 * np.log10(mse))
+                f_ssims.append(ssim(rgb_fast, test.rgb[i]))
+            fast[n_imp] = {
+                "psnr": float(np.mean(f_psnrs)),
+                "ssim": float(np.mean(f_ssims)),
+            }
+            print(
+                f"[{name}] FAST preset (importance-only, int8, "
+                f"n_importance={n_imp}): PSNR {fast[n_imp]['psnr']:.2f} dB "
+                f"(merged {psnr:.2f}), SSIM {fast[n_imp]['ssim']:.4f}"
+            )
+    return {
+        "psnr": psnr,
+        "fidelity": fidelity,
+        "fidelity_int8": fidelity_int8,
+        "fast": fast,
+    }
 
 
 def main() -> None:
@@ -141,6 +176,20 @@ def main() -> None:
         "--max-psnr-drop", type=float, default=0.7,
         help="--proposal: fail if the proposal run loses more test PSNR "
              "than this vs the hierarchical run (dB)",
+    )
+    parser.add_argument(
+        "--fast-preset", action="store_true",
+        help="also measure + gate the importance-only fast serving preset "
+             "(merge_coarse=False) at each --fast-n-importance count",
+    )
+    parser.add_argument(
+        "--fast-n-importance", type=int, nargs="+", default=[128, 96],
+        help="--fast-preset: importance-only sample counts to evaluate",
+    )
+    parser.add_argument(
+        "--max-fast-psnr-drop", type=float, default=0.5,
+        help="--fast-preset: fail if the LARGEST gated fast count loses "
+             "more test PSNR than this vs the same leg's merged render (dB)",
     )
     args = parser.parse_args()
 
@@ -198,6 +247,24 @@ def main() -> None:
             failures.append(
                 f"proposal int8-vs-jnp SSIM {prop['fidelity_int8']:.5f} "
                 f"< required {args.min_fidelity}"
+            )
+    if args.fast_preset:
+        # Gate the fast preset on the proposal leg when present (that IS the
+        # serving configuration), else on the hierarchical leg. Only the
+        # largest sample count is a hard gate; smaller counts are recorded
+        # as measured speed/quality trade points.
+        leg = prop if prop is not None else hier
+        leg_name = "prop" if prop is not None else "hier"
+        gate_n = max(args.fast_n_importance)
+        drop = leg["psnr"] - leg["fast"][gate_n]["psnr"]
+        print(
+            f"fast-preset gate [{leg_name}, n_importance={gate_n}]: "
+            f"PSNR drop {drop:+.2f} dB (allowed {args.max_fast_psnr_drop})"
+        )
+        if drop > args.max_fast_psnr_drop:
+            failures.append(
+                f"fast preset (n_importance={gate_n}) loses {drop:.2f} dB "
+                f"> allowed {args.max_fast_psnr_drop} vs merged placement"
             )
     if failures:
         print("QUALITY GATE FAILED: " + "; ".join(failures))

@@ -51,6 +51,9 @@ print("two-yaw difference ok:", np.abs(img1.astype(int)-img2.astype(int)).mean()
 
 # int8 fused path (the serving surface: int8 trunk + heads). Fused
 # kernels need the TPU; skip on CPU backends.
+import imageio.v2 as imageio
+
+imageio.imwrite("/tmp/verify_parity.png", img1)
 if jax.devices()[0].platform == "tpu":
     r8 = NeRFRenderer("tokyo", "/tmp/model.ckpt", precision="int8")
     r8.initialize_models()
@@ -58,9 +61,7 @@ if jax.devices()[0].platform == "tpu":
     diff = np.abs(img8.astype(int) - img1.astype(int))
     print("int8-vs-parity: mean |d|", diff.mean(), "p99", np.percentile(diff, 99), "max", diff.max())
     assert diff.mean() < 2.0, f"int8 frame diverges: mean {diff.mean()}"
+    imageio.imwrite("/tmp/verify_int8.png", img8)
 else:
     print("int8 leg skipped (no TPU backend)")
-import imageio.v2 as imageio
-imageio.imwrite("/tmp/verify_parity.png", img1)
-imageio.imwrite("/tmp/verify_int8.png", img8)
 print("VERIFY OK")

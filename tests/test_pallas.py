@@ -407,3 +407,80 @@ def test_int8_negative_skip_shift_no_clipping(params):
     assert np.all(np.isfinite(rgb_q))
     assert err.mean() < 4e-3, err.mean()
     assert err.max() < 6e-2, err.max()
+
+
+def test_importance_only_kernel_matches_sample_pdf():
+    """merge=False (the fast serving preset) must reproduce
+    sample_pdf(deterministic=True) alone — no coarse depths in the output,
+    ascending order directly from ascending quantiles."""
+    from nerf_workspaces_explorer_tpu.ops.pallas_sampling import (
+        importance_merge_pallas,
+    )
+    from nerf_workspaces_explorer_tpu.rays.sampling import sample_pdf
+
+    s, r, n_imp = 64, 256, 96
+    z = jnp.sort(
+        jax.random.uniform(jax.random.PRNGKey(3), (s, r), minval=0.1, maxval=10.0),
+        axis=0,
+    )
+    centre = jax.random.uniform(jax.random.PRNGKey(4), (1, r), minval=2.0, maxval=8.0)
+    w = jnp.exp(-0.5 * ((z - centre) / 0.4) ** 2) + 1e-4
+
+    fused = np.asarray(
+        importance_merge_pallas(
+            w, z, n_imp, ray_tile=128, interpret=True, merge=False
+        )
+    )
+    z_T = z.T
+    z_mid = 0.5 * (z_T[..., 1:] + z_T[..., :-1])
+    ref = np.asarray(
+        sample_pdf(z_mid, w.T[..., 1:-1], n_imp, deterministic=True).T
+    )
+    assert fused.shape == ref.shape == (n_imp, r)
+    assert np.all(np.diff(fused, axis=0) >= -1e-6)  # sorted ascending
+    err = np.abs(fused - ref)
+    bin_w = float(np.max(np.diff(np.asarray(z), axis=0)))
+    flips = float(np.mean(err > 1e-4))  # CDF-edge ties, like the merge test
+    assert flips < 5e-3, f"boundary flips on {flips:.2%} of samples"
+    assert err.max() <= bin_w + 1e-4
+
+
+def test_fast_preset_fused_matches_jnp(params):
+    """merge_coarse=False end-to-end: the fused kernel and the jnp pipeline
+    must agree on the importance-only fine pass."""
+    settings = RenderSettings(n_samples=16, n_importance=16, merge_coarse=False)
+    rays = create_rays(jnp.eye(4)[None], 8, 16, 8.0, 8.0, 7.5, 3.5, 0.5, 4.0).reshape(128)
+    rgb = render_rays_fused(
+        params, rays, settings, spec=SPEC, ray_tile=128, interpret=True
+    )
+    ref = render_ray_bundle(params, rays, settings.for_eval(), spec=SPEC, full_outputs=False)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(ref["rgb_fine"]), atol=5e-3)
+
+
+def test_fast_preset_differs_from_reference_placement(params):
+    """Sanity: the preset really changes the fine sample set (fewer MLP
+    evals), yet stays close to the reference placement on smooth content."""
+    fast = RenderSettings(n_samples=16, n_importance=16, merge_coarse=False)
+    refp = RenderSettings(n_samples=16, n_importance=16)
+    rays = create_rays(jnp.eye(4)[None], 8, 16, 8.0, 8.0, 7.5, 3.5, 0.5, 4.0).reshape(128)
+    out_fast = render_ray_bundle(params, rays, fast.for_eval(), spec=SPEC)
+    out_ref = render_ray_bundle(params, rays, refp.for_eval(), spec=SPEC)
+    assert out_fast["z_vals_fine"].shape[-1] == 16
+    assert out_ref["z_vals_fine"].shape[-1] == 32
+    diff = np.abs(np.asarray(out_fast["rgb_fine"]) - np.asarray(out_ref["rgb_fine"]))
+    assert diff.max() > 0.0  # genuinely different sample placement
+    assert diff.mean() < 0.1  # but the same scene content
+
+
+def test_fused_disp_matches_jnp(params):
+    """The fused path's disp output (round-3 parity gap closure) must match
+    the jnp pipeline's guarded inverse-depth (reference model_utils.py:88-97)."""
+    settings = RenderSettings(n_samples=8, n_importance=8)
+    rays = create_rays(jnp.eye(4)[None], 8, 16, 8.0, 8.0, 7.5, 3.5, 0.5, 4.0).reshape(128)
+    out = render_rays_fused(
+        params, rays, settings, spec=SPEC, ray_tile=128, interpret=True, full=True
+    )
+    ref = render_ray_bundle(params, rays, settings.for_eval(), spec=SPEC, full_outputs=True)
+    np.testing.assert_allclose(
+        np.asarray(out.disp), np.asarray(ref["disp_fine"]), rtol=5e-2
+    )

@@ -2,6 +2,8 @@
 
 import os
 
+import jax.numpy as jnp
+
 import numpy as np
 import pytest
 
@@ -165,3 +167,91 @@ def test_render_cli_tour_streams_frames(tmp_path, monkeypatch):
     files = sorted(os.listdir(tmp_path / "tour"))
     pngs = [f for f in files if f.endswith(".png")]
     assert len(pngs) == 6  # three hangles + three vangles at step 90
+
+
+def test_fast_preset_renderer_and_cache_key():
+    """preset='fast' renders importance-only frames and compiles a DIFFERENT
+    program from the reference placement (distinct jit-cache keys)."""
+    from nerf_workspaces_explorer_tpu.core.config import (
+        ExperimentConfig,
+        FrameworkConfig,
+        RenderingConfig,
+    )
+    from nerf_workspaces_explorer_tpu.infer.renderer import NeRFRenderer
+
+    cfg = FrameworkConfig(
+        experiment=ExperimentConfig(image_width=16, image_height=8),
+        rendering=RenderingConfig(n_samples=4, n_importance=4,
+                                  num_freqs_3d=6, num_freqs_2d=2),
+    )
+    r_ref = NeRFRenderer("office_tokyo", None, config=cfg, use_pallas=False)
+    r_fast = NeRFRenderer(
+        "office_tokyo", None, config=cfg, use_pallas=False,
+        preset="fast", n_importance=8,
+    )
+    assert r_fast._settings.merge_coarse is False
+    assert r_fast._settings.n_importance == 8
+    assert r_ref._jit_cache_key() != r_fast._jit_cache_key()
+    r_fast.initialize_models(allow_random_init=True)
+    pose = np.eye(4, dtype=np.float32)
+    frame = np.asarray(r_fast.render_pose_uint8(pose))
+    assert frame.shape == (8, 16, 3) and frame.dtype == np.uint8
+    assert np.all(np.isfinite(frame.astype(np.float32)))
+
+
+def test_nan_debug_scans_full_output_dict(capsys):
+    """--nan-debug renders the full reference output dict (rgb/disp/acc/
+    depth, …inference_handler.py:256-268) and scans every key."""
+    from nerf_workspaces_explorer_tpu.core import COORD
+    from nerf_workspaces_explorer_tpu.core.config import (
+        ExperimentConfig,
+        FrameworkConfig,
+        RenderingConfig,
+    )
+    from nerf_workspaces_explorer_tpu.infer.renderer import NeRFRenderer
+
+    cfg = FrameworkConfig(
+        experiment=ExperimentConfig(image_width=16, image_height=8),
+        rendering=RenderingConfig(n_samples=4, n_importance=4,
+                                  num_freqs_3d=6, num_freqs_2d=2),
+    )
+    r = NeRFRenderer(
+        "office_tokyo", None, config=cfg, use_pallas=False, nan_debug=True
+    )
+    r.initialize_models(allow_random_init=True)
+    init = COORD(x=0.0, y=0.0, z=0.0)
+    frame = r.render_coordinates(init, COORD())
+    assert frame.shape == (8, 16, 3) and frame.dtype == np.uint8
+    # The scan saw finite outputs -> no numerical-error prints.
+    assert "[Numerical Error]" not in capsys.readouterr().out
+    scanned = r._render_full_jit(r._params, jnp.eye(4, dtype=jnp.float32))
+    assert set(scanned) >= {"rgb_fine", "disp_fine", "acc_fine", "depth_fine"}
+
+
+def test_render_jit_cache_is_bounded():
+    """The shared compiled-fn cache evicts LRU entries past its cap
+    (ADVICE round 2: unbounded growth across int8 recalibrations)."""
+    from nerf_workspaces_explorer_tpu.core.config import (
+        ExperimentConfig,
+        FrameworkConfig,
+        RenderingConfig,
+    )
+    from nerf_workspaces_explorer_tpu.infer import renderer as renderer_mod
+    from nerf_workspaces_explorer_tpu.infer.renderer import NeRFRenderer
+
+    cache = renderer_mod._RENDER_JIT_CACHE
+    before = dict(cache)
+    try:
+        cache.clear()
+        for i in range(renderer_mod._RENDER_JIT_CACHE_MAX + 5):
+            cfg = FrameworkConfig(
+                experiment=ExperimentConfig(image_width=16 + 8 * i, image_height=8),
+                rendering=RenderingConfig(n_samples=4, n_importance=4,
+                                          num_freqs_3d=6, num_freqs_2d=2),
+            )
+            r = NeRFRenderer("office_tokyo", None, config=cfg, use_pallas=False)
+            r.initialize_models(allow_random_init=True)  # builds + caches jits
+        assert len(cache) <= renderer_mod._RENDER_JIT_CACHE_MAX
+    finally:
+        cache.clear()
+        cache.update(before)
