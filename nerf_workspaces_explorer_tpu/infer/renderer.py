@@ -504,8 +504,13 @@ class NeRFRenderer:
         full hierarchical frame on the Qt main thread, app.py:323-347):
         one network evaluated at `n_samples` uniform depths — with a
         coarse+fine checkpoint the coarse net, which trains on exactly
-        this distribution; ~n_samples/192 of the full frame's cost. The
-        GUIs show this immediately and swap in the full render when ready.
+        this distribution; ~n_samples/192 of the full frame's cost. For a
+        proposal checkpoint there is no coarse net and the fine net never
+        trains on uniform depths, so the preview runs the cheap proposal
+        pass (2x64 density net at `n_samples` uniform depths) followed by
+        an importance-only fine pass at n_samples/2 samples — the same
+        placement the fine net trains and serves on. The GUIs show this
+        immediately and swap in the full render when ready.
         """
         if self._params is None:
             raise RuntimeError("initialize_models() must be called before rendering")
@@ -519,25 +524,51 @@ class NeRFRenderer:
         cfg = self._config
         h, w = cfg.experiment.image_height, cfg.experiment.image_width
         near, far = cfg.rendering.depth_range
-        net = "coarse" if "coarse" in self._params else "fine"
-        quant = (self._quant or {}).get(net) if self._precision == "int8" else None
         # Snapshot statics: the jitted body must never read live self state
         # (same invariant as _frozen_batch_body).
         settings, spec = self._settings, self._spec
         use_pallas, eps = self._use_pallas, self._early_stop_eps
+        has_coarse = "coarse" in self._params
+        proposal_preview = not has_coarse and settings.use_proposal
+        full_quant = self._quant if self._precision == "int8" else None
+        net = "coarse" if has_coarse else "fine"
+        net_quant = (full_quant or {}).get(net)
         from nerf_workspaces_explorer_tpu.ops.pallas_render import (
+            render_rays_fused,
             render_rays_single_pass,
         )
         from nerf_workspaces_explorer_tpu.render.pipeline import render_ray_bundle
+
+        # Proposal checkpoints: the fine net trains on importance samples,
+        # not uniform depths, so a uniform single-pass preview through it
+        # is off-distribution. Instead run the real (cheap) proposal
+        # density pass + an importance-only fine pass at half the samples
+        # — the fast-preset placement at preview cost.
+        proposal_settings = settings.for_eval()._replace(
+            n_samples=n_samples,
+            n_importance=max(2, n_samples // 2),
+            merge_coarse=False,
+        )
 
         def body(params, c2w):
             rays = create_rays(
                 c2w[None], h, w, cfg.fx, cfg.fy, cfg.cx, cfg.cy, near, far
             ).reshape(h * w)
-            if use_pallas:
+            if proposal_preview:
+                if use_pallas:
+                    rgb = render_rays_fused(
+                        params, rays, proposal_settings, spec=spec,
+                        quant=full_quant, early_stop_eps=eps,
+                    )
+                else:
+                    rgb = render_ray_bundle(
+                        params, rays, proposal_settings, spec=spec,
+                        full_outputs=False,
+                    )["rgb_fine"]
+            elif use_pallas:
                 rgb = render_rays_single_pass(
                     params[net], rays, settings, spec=spec,
-                    n_samples=n_samples, quant=quant,
+                    n_samples=n_samples, quant=net_quant,
                     early_stop_eps=eps,
                 )
             else:

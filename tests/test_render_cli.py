@@ -169,6 +169,58 @@ def test_render_cli_tour_streams_frames(tmp_path, monkeypatch):
     assert len(pngs) == 6  # three hangles + three vangles at step 90
 
 
+def test_render_coordinates_preview_proposal_checkpoint():
+    """A proposal checkpoint has no coarse net; its preview must run the
+    proposal density pass + importance-only fine pass (the fine net's
+    trained placement) instead of evaluating the fine net at uniform
+    depths it never trains on (round-2 VERDICT weak item 5)."""
+    from nerf_workspaces_explorer_tpu.core import COORD
+    from nerf_workspaces_explorer_tpu.core.config import (
+        ExperimentConfig,
+        FrameworkConfig,
+        RenderingConfig,
+    )
+    from nerf_workspaces_explorer_tpu.infer.renderer import NeRFRenderer
+    from nerf_workspaces_explorer_tpu.render.pipeline import render_ray_bundle
+
+    cfg = FrameworkConfig(
+        experiment=ExperimentConfig(image_width=16, image_height=8),
+        rendering=RenderingConfig(n_samples=8, n_importance=8,
+                                  num_freqs_3d=6, num_freqs_2d=2),
+    )
+    r = NeRFRenderer(
+        "office_tokyo", None, config=cfg, use_pallas=False, use_proposal=True
+    )
+    r.initialize_models(allow_random_init=True)
+    assert "coarse" not in r.params and "proposal" in r.params
+
+    init = COORD(x=0.0, y=0.0, z=0.0)
+    img = r.render_coordinates_preview(init, COORD(yaw=-30.0), n_samples=8)
+    assert img.shape == (8, 16, 3) and img.dtype == np.uint8
+
+    # The preview must equal the fast-preset pipeline at (8 proposal, 4
+    # importance-only) samples — not a uniform-depth fine-net pass.
+    from nerf_workspaces_explorer_tpu.camera.poses import poses_from_coordinates
+    from nerf_workspaces_explorer_tpu.rays import create_rays
+
+    pose = poses_from_coordinates(init, [COORD(yaw=-30.0)])[0]
+    near, far = cfg.rendering.depth_range
+    rays = create_rays(
+        jnp.asarray(pose)[None], 8, 16, cfg.fx, cfg.fy, cfg.cx, cfg.cy,
+        near, far,
+    ).reshape(128)
+    expected_settings = r._settings.for_eval()._replace(
+        n_samples=8, n_importance=4, merge_coarse=False
+    )
+    expected = render_ray_bundle(
+        r.params, rays, expected_settings, spec=r._spec, full_outputs=False
+    )["rgb_fine"]
+    expected8 = np.floor(
+        255.0 * np.clip(np.asarray(expected).reshape(8, 16, 3), 0.0, 1.0)
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(img, expected8)
+
+
 def test_fast_preset_renderer_and_cache_key():
     """preset='fast' renders importance-only frames and compiles a DIFFERENT
     program from the reference placement (distinct jit-cache keys)."""
