@@ -30,6 +30,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="train on a synthetic scene instead of the Replica dataset",
     )
     parser.add_argument("--synthetic-size", type=int, default=64)
+    parser.add_argument(
+        "--synthetic-views", type=int, nargs=2, default=(8, 2),
+        metavar=("N_TRAIN", "N_TEST"),
+        help="synthetic scene view counts (sparse views overfit long runs)",
+    )
+    parser.add_argument(
+        "--save-final", action="store_true",
+        help="save a checkpoint at the final step into <save-dir>/checkpoints "
+        "(the reference cadence fires at step%%20000==0 starting from 0, so a "
+        "200k run never checkpoints its last-step weights — "
+        "training_handler.py:338-339)",
+    )
     parser.add_argument("--mesh", type=int, default=0, help="devices for data parallelism")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--save-dir", type=str, default=None)
@@ -111,8 +123,9 @@ def main(argv=None) -> None:
 
         size = args.synthetic_size
         near, far = config.rendering.depth_range
+        n_train, n_test = args.synthetic_views
         train_data, test_data, _ = make_synthetic_scene(
-            n_train=8, n_test=2, height=size * 3 // 4, width=size,
+            n_train=n_train, n_test=n_test, height=size * 3 // 4, width=size,
             seed=args.seed, near=near, far=far,
         )
 
@@ -169,6 +182,9 @@ def main(argv=None) -> None:
             trainer.step(i)
             duration = time.time() - step_start
             print(f"Finished step: {i + 1}/{num_iterations} --> Step duration: {duration} sec")
+
+    if args.save_final:
+        trainer.save_models_checkpoint(num_iterations)
 
     # Export the reference's nine SVG training curves (SURVEY component 22).
     try:

@@ -124,12 +124,24 @@ def _loss_and_metrics(
         # Proposal mode: the coarse level has no color; its loss is the
         # interlevel histogram bound (render/proposal.py).
         from nerf_workspaces_explorer_tpu.render.proposal import interlevel_loss
+        from nerf_workspaces_explorer_tpu.render.volume import sigma_to_weights
 
+        # Histograms for the interlevel bound are recomposited WITHOUT the
+        # raw_noise_std sigma noise: the rendering losses keep the
+        # reference's noise regularizer, but a noisy target histogram vs a
+        # noisy proposal histogram makes the proposal chase per-step noise
+        # (measured: loss oscillating 0.3-1000, and the fast serving preset
+        # losing 0.74 dB on proposal checkpoints). Gradient flows to the
+        # proposal through its raw sigma; the fine target is stopped inside
+        # interlevel_loss.
+        w_prop = sigma_to_weights(
+            out["raw_coarse"][..., 3], out["z_vals_coarse"], sampled_rays.dirs
+        )
+        w_fine = sigma_to_weights(
+            out["raw_fine"][..., 3], out["z_vals_fine"], sampled_rays.dirs
+        )
         rgb_loss_coarse = interlevel_loss(
-            out["z_vals_coarse"],
-            out["weights_coarse"],
-            out["z_vals_fine"],
-            out["weights_fine"],
+            out["z_vals_coarse"], w_prop, out["z_vals_fine"], w_fine
         )
         psnr_coarse = jnp.zeros(())  # no coarse rgb to score
     else:

@@ -44,8 +44,14 @@ def run_mode(mode: str, extra, steps: int, base: str) -> str:
     cmd = [
         sys.executable, "-m", "nerf_workspaces_explorer_tpu.cli.train",
         "--office", "tokyo", "--synthetic", "--synthetic-size", "128",
+        # 12 train views (the validate_quality.py scene): the CLI's default
+        # 8-view split overfits long runs — measured at 20k steps, xla test
+        # PSNR fell 26.9 -> 22.7 and proposal mode (whose tiny density net
+        # memorizes train-view frustums) fell to 16.8, while the same modes
+        # on 12 views hold 26.6/26.8.
+        "--synthetic-views", "12", "3",
         "--iterations", str(steps), "--steps-per-call", "100",
-        "--save-dir", save_dir, *extra,
+        "--save-dir", save_dir, "--save-final", *extra,
     ]
     log_path = os.path.join(base, f"{mode}.log")
     print(f"[{mode}] {' '.join(cmd)} (log: {log_path})", flush=True)
@@ -114,7 +120,7 @@ def main() -> None:
     with open(out_md, "w") as f:
         f.write(
             f"# Long-horizon training study ({args.steps} steps)\n\n"
-            "Synthetic 96x128 scene (8 train / 2 test views), shipped office\n"
+            "Synthetic 96x128 scene (12 train / 3 test views), shipped office\n"
             "model config (8x256, 64+128 samples, 1024 rays/step, Adam 5e-4\n"
             "with x0.1/50k decay). Reference context: the reference trains\n"
             "200k steps and reaches 23-39 dB on real Replica scenes\n"

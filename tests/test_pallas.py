@@ -484,3 +484,29 @@ def test_fused_disp_matches_jnp(params):
     np.testing.assert_allclose(
         np.asarray(out.disp), np.asarray(ref["disp_fine"]), rtol=5e-2
     )
+
+
+def test_fused_render_narrow_spec_matches_jnp():
+    """The kernel must stay exact for non-default architectures: a 4x128
+    fine net (no skip layer fires at depth 4) with a proposal coarse pass —
+    the narrow-net work-reduction candidate (scripts/narrow_net_probe.py)."""
+    from nerf_workspaces_explorer_tpu.render.proposal import proposal_spec
+
+    spec = NerfMLPSpec(depth=4, width=128)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    params = {
+        "proposal": init_nerf_params(k1, proposal_spec(6)),
+        "fine": init_nerf_params(k2, spec),
+    }
+    for net in params.values():
+        net["alpha"]["b"] = net["alpha"]["b"] + 1.5
+    settings = RenderSettings(n_samples=16, n_importance=16, use_proposal=True)
+    rays = create_rays(jnp.eye(4)[None], 8, 16, 8.0, 8.0, 7.5, 3.5, 0.5, 4.0).reshape(128)
+    fused = np.asarray(
+        render_rays_fused(params, rays, settings.for_eval(), spec=spec,
+                          ray_tile=128, interpret=True)
+    )
+    ref = render_ray_bundle(
+        params, rays, settings.for_eval(), spec=spec, full_outputs=False
+    )
+    np.testing.assert_allclose(fused, np.asarray(ref["rgb_fine"]), atol=5e-3)

@@ -211,3 +211,54 @@ def test_proposal_int8_fused_render_matches_jnp():
     assert np.all(np.isfinite(rgb_q))
     assert err.mean() < 4e-3, err.mean()
     assert err.max() < 4e-2, err.max()
+
+
+def test_interlevel_target_ignores_sigma_noise():
+    """The interlevel histograms are recomposited without raw_noise_std
+    (train/step.py): with an absurd noise std the rendering losses jitter
+    but the proposal's histogram target must stay geometry-shaped. Under
+    the old noisy-target coupling this loss blows past 1e5 immediately."""
+    from nerf_workspaces_explorer_tpu.data import make_synthetic_scene
+    from nerf_workspaces_explorer_tpu.models import NerfMLPSpec
+    from nerf_workspaces_explorer_tpu.rays import create_rays
+    from nerf_workspaces_explorer_tpu.render import RenderSettings
+    from nerf_workspaces_explorer_tpu.render.proposal import proposal_spec
+    from nerf_workspaces_explorer_tpu.render.volume import (
+        composite_rays,
+        sigma_to_weights,
+    )
+    from nerf_workspaces_explorer_tpu.train import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    # sigma_to_weights IS the weights slice of composite_rays at noise 0.
+    key = jax.random.PRNGKey(3)
+    raw = jax.random.normal(key, (32, 12, 4))
+    z = jnp.sort(jax.random.uniform(key, (32, 12)), axis=-1)
+    dirs = jax.random.normal(key, (32, 3))
+    ref = composite_rays(raw, z, dirs, raw_noise_std=0.0).weights
+    np.testing.assert_allclose(
+        np.asarray(sigma_to_weights(raw[..., 3], z, dirs)), np.asarray(ref),
+        rtol=1e-6,
+    )
+
+    spec = NerfMLPSpec(depth=4, width=64, input_ch=39, input_ch_views=15)
+    settings = RenderSettings(
+        n_samples=16, n_importance=16, num_freqs_3d=6, num_freqs_2d=2,
+        raw_noise_std=100.0, use_proposal=True, proposal_num_freqs=6,
+    )
+    opt = make_optimizer(1e-3)
+    state = init_train_state(
+        jax.random.PRNGKey(0), spec, opt, proposal_spec=proposal_spec(6)
+    )
+    train, _, _ = make_synthetic_scene(n_train=1, n_test=1, height=16, width=16)
+    rays = create_rays(jnp.asarray(train.camera_pose), 16, 16, 8.0, 8.0, 7.5, 7.5, 0.1, 6.0)
+    rgbs = jnp.asarray(train.rgb.reshape(1, -1, 3))
+    step = make_train_step(settings, spec, opt, n_rays=128)
+    worst = 0.0
+    for i in range(20):
+        state, m = step(state, rays, rgbs, jax.random.PRNGKey(42))
+        worst = max(worst, float(m["rgb_loss_coarse"]))
+    assert np.isfinite(worst) and worst < 1e5, worst
