@@ -123,7 +123,7 @@ def main():
     from nerf_workspaces_explorer_tpu.core import COORD
     from nerf_workspaces_explorer_tpu.core.config import load_config
     from nerf_workspaces_explorer_tpu.infer import NeRFRenderer
-    from nerf_workspaces_explorer_tpu.ops.quantize import calibrate_params
+    from nerf_workspaces_explorer_tpu.ops.quantize import calibrate_model_quant
     from nerf_workspaces_explorer_tpu.rays import create_rays
     from nerf_workspaces_explorer_tpu.ops.pallas_render import render_rays_fused
     from nerf_workspaces_explorer_tpu.render import RenderSettings
@@ -216,7 +216,7 @@ def main():
     # 3) int8 fused (the benchmarked serving precision). Compiled kernels
     # need the TPU; in interpret mode the int8 emulation is exact enough
     # for fidelity measurement but ~100x slower, so only run when cheap.
-    quant = calibrate_params(params, spec=spec)
+    quant = calibrate_model_quant(params, spec=spec, box=6.0)
     t0 = time.time()
     rgb8 = render_rays_fused(
         params, rays, RenderSettings(), spec=spec, ray_tile=256,
