@@ -148,6 +148,7 @@ def run_leg(name, use_proposal, train, test, cfg, args):
             )
     return {
         "psnr": psnr,
+        "ssim": float(np.mean(ssims)),
         "fidelity": fidelity,
         "fidelity_int8": fidelity_int8,
         "fast": fast,
@@ -190,6 +191,11 @@ def main() -> None:
         "--max-fast-psnr-drop", type=float, default=0.5,
         help="--fast-preset: fail if the LARGEST gated fast count loses "
              "more test PSNR than this vs the same leg's merged render (dB)",
+    )
+    parser.add_argument(
+        "--report", type=str, default=None, metavar="MD_PATH",
+        help="also write the measured table as a markdown report "
+             "(e.g. reports/quality_gate_20k.md)",
     )
     args = parser.parse_args()
 
@@ -266,6 +272,42 @@ def main() -> None:
                 f"fast preset (n_importance={gate_n}) loses {drop:.2f} dB "
                 f"> allowed {args.max_fast_psnr_drop} vs merged placement"
             )
+    if args.report:
+        os.makedirs(os.path.dirname(os.path.abspath(args.report)), exist_ok=True)
+        with open(args.report, "w") as f:
+            f.write(
+                f"# Serving quality gate at {args.steps} steps\n\n"
+                f"Command: `python scripts/validate_quality.py --steps "
+                f"{args.steps}"
+                + (" --proposal" if args.proposal else "")
+                + (" --fast-preset" if args.fast_preset else "")
+                + f"`. Scene: {args.height}x{args.width} synthetic, 12 train"
+                " / 3 test views; shipped office model config. Test renders"
+                " use the fused Pallas kernel (the serving path).\n\n"
+                "| leg | config | test PSNR (dB) | SSIM | fused-vs-jnp SSIM"
+                " | int8-vs-jnp SSIM |\n|---|---|---|---|---|---|\n"
+            )
+            for leg_name, leg in (("hier", hier), ("prop", prop)):
+                if leg is None:
+                    continue
+                f.write(
+                    f"| {leg_name} | merged placement | {leg['psnr']:.2f} "
+                    f"| {leg['ssim']:.4f} | {leg['fidelity']:.5f} "
+                    f"| {leg['fidelity_int8']:.5f} |\n"
+                )
+                for n_imp, row in sorted(leg["fast"].items(), reverse=True):
+                    f.write(
+                        f"| {leg_name} | fast preset, int8, "
+                        f"n_importance={n_imp} | {row['psnr']:.2f} "
+                        f"| {row['ssim']:.4f} | — | — |\n"
+                    )
+            f.write(
+                "\nResult: "
+                + ("**QUALITY GATE FAILED**: " + "; ".join(failures)
+                   if failures else "**QUALITY GATE PASSED.**")
+                + "\n"
+            )
+        print(f"report -> {args.report}")
     if failures:
         print("QUALITY GATE FAILED: " + "; ".join(failures))
         sys.exit(1)
