@@ -17,8 +17,13 @@ when present — realistic free space for early termination — else the
 boosted-random weights the 24x32 tests use. Either way both systems render
 from the SAME exported checkpoint through the reference's own loader.
 
-Run (CPU, ~10-30 min of torch; no TPU needed):
-    JAX_PLATFORMS=cpu python scripts/reference_parity_320x240.py
+Run: `python scripts/reference_parity_320x240.py` — the reference leg is
+always torch-CPU (~30 min, cached in /tmp across runs); our legs run on
+the default backend (TPU when available: compiled kernels, minutes).
+`--platform cpu` forces everything onto CPU (fused legs drop to interpret
+mode — slow). NOTE: the axon sitecustomize overrides JAX_PLATFORMS at
+interpreter start via jax.config, so the env var alone does NOT work —
+use the flag (it re-applies jax.config.update like tests/conftest.py).
 """
 
 import math
@@ -105,7 +110,16 @@ def main():
             "reference_parity_320x240.md",
         )
     )
+    parser.add_argument(
+        "--platform", default="auto", choices=("auto", "cpu"),
+        help="force our render legs onto CPU (see module docstring)",
+    )
     args = parser.parse_args()
+
+    if args.platform == "cpu":
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
 
     sys.path.insert(0, REFERENCE_ROOT)
     sys.modules.setdefault(
@@ -149,12 +163,25 @@ def main():
     INIT = COORD(x=1.0, y=-0.5, z=0.5, pitch=-90.0)
     VIEW = COORD(yaw=-30.0)
 
-    print(f"[reference] rendering {W}x{H} on torch-CPU ({weights_kind})...",
-          flush=True)
-    t0 = time.time()
-    ref_img = handler.render_coordinates(INIT, VIEW)
-    t_ref = time.time() - t0
-    print(f"[reference] {t_ref:.1f} s", flush=True)
+    # The torch-CPU reference render takes ~30 min; it depends only on the
+    # weights + pose, so cache it across iterations on our own paths.
+    cache_key = hash(
+        (weights_kind, tuple(np.asarray(params["fine"]["alpha"]["b"]).tolist()),
+         float(np.asarray(params["fine"]["pts"][0]["w"]).sum()), INIT, VIEW)
+    )
+    cache = f"/tmp/parity320_ref_{cache_key & 0xFFFFFFFF:08x}.npy"
+    if os.path.exists(cache):
+        ref_img = np.load(cache)
+        t_ref = 0.0
+        print(f"[reference] using cached render {cache}", flush=True)
+    else:
+        print(f"[reference] rendering {W}x{H} on torch-CPU ({weights_kind})...",
+              flush=True)
+        t0 = time.time()
+        ref_img = handler.render_coordinates(INIT, VIEW)
+        t_ref = time.time() - t0
+        print(f"[reference] {t_ref:.1f} s", flush=True)
+        np.save(cache, ref_img)
     assert ref_img.std() > 0, "reference frame is blank"
 
     cfg = load_config(office_name=office_short)
