@@ -2,16 +2,22 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Primary metric (per BASELINE.json): ms/frame at 640x480 for the FAST
-serving preset — proposal(2x64) coarse pass, full-int8 kernels, and an
-importance-only fine pass (the fine 8x256 MLP evaluates only the
-proposal-guided importance samples instead of re-evaluating the 64 uniform
-coarse depths the reference merges in, …inference_handler.py:243). Both
-legs are quality-gated by scripts/validate_quality.py
---proposal --fast-preset. The reference-placement configuration
-(64+128=192 merged fine samples, identical sample placement to the
-reference) is timed alongside and reported as
-ms_per_frame_reference_placement.
+Primary metric (per BASELINE.json): ms/frame at 640x480 for the fastest
+QUALITY-GATED serving preset present:
+
+  - TURBO (when assets/bench/synth_proposal.turbo.npz exists): a narrow
+    student (default 6x192) distilled offline from the trained fixture
+    (train/distill.py), served proposal-guided importance-only at int8 —
+    gated by scripts/validate_quality.py --proposal --fast-preset --turbo.
+  - FAST otherwise: the full 8x256 fine net, proposal(2x64) coarse pass,
+    full-int8 kernels, importance-only fine pass (no re-evaluation of the
+    64 uniform coarse depths the reference merges in,
+    …inference_handler.py:243) — gated by validate_quality.py
+    --proposal --fast-preset.
+
+Both are timed; the reference-placement configuration (64+128=192 merged
+fine samples, identical sample placement to the reference) is timed
+alongside and reported as ms_per_frame_reference_placement.
 
 Weights: a TRAINED synthetic-scene fixture (assets/bench/synth_*.npz,
 scripts/make_bench_fixture.py) so early termination and int8 calibration
@@ -145,24 +151,57 @@ def main() -> None:
     ms_fast = _time_renderer(fast, pose)
     ms_ref = _time_renderer(ref, pose)
 
-    # Tour/video throughput on the fast preset: the pipelined stream
+    # TURBO preset: distilled narrow student, when its sidecar fixture
+    # exists next to the trained teacher fixture.
+    from nerf_workspaces_explorer_tpu.train.distill import (
+        read_turbo_metadata,
+        student_spec_from_meta,
+        turbo_sidecar_path,
+    )
+
+    sidecar = turbo_sidecar_path(FIXTURE)
+    ms_turbo = turbo_student = turbo_spec = None
+    if weights_kind == "trained-synthetic" and os.path.exists(sidecar):
+        turbo = NeRFRenderer(
+            "office_tokyo", FIXTURE, config=config, precision=precision,
+            use_pallas=use_pallas, preset="turbo",
+        )
+        turbo.initialize_models()
+        ms_turbo = _time_renderer(turbo, pose)
+        turbo_spec, turbo_student = student_spec_from_meta(
+            read_turbo_metadata(sidecar)
+        )
+
+    if ms_turbo is not None:
+        headline, headline_ms = turbo, ms_turbo
+        preset_name = "turbo"
+        n_coarse = int(turbo_student["n_samples"])
+        n_fine = int(turbo_student["n_importance"])
+        fine_spec = turbo_spec
+    else:
+        headline, headline_ms = fast, ms_fast
+        preset_name = "fast"
+        n_coarse, n_fine = 64, FAST_N_IMPORTANCE
+        fine_spec = NerfMLPSpec()
+
+    # Tour/video throughput on the headline preset: the pipelined stream
     # overlaps device compute with the host download.
     tour = poses_from_coordinates(
         COORD(x=1.0, y=-0.5, z=0.5, pitch=-90.0),
         [COORD(yaw=a) for a in np.linspace(-90.0, 90.0, 8)],
     )
     start = time.perf_counter()
-    n_streamed = sum(1 for _ in fast.render_poses_uint8_stream(tour, lookahead=3))
+    n_streamed = sum(
+        1 for _ in headline.render_poses_uint8_stream(tour, lookahead=3)
+    )
     ms_streamed = (time.perf_counter() - start) / n_streamed * 1000.0
 
-    rays_per_sec = WIDTH * HEIGHT / (ms_fast / 1000.0)
+    rays_per_sec = WIDTH * HEIGHT / (headline_ms / 1000.0)
     n_chips = jax.device_count()
 
-    tops = _frame_tops(
-        NerfMLPSpec(), proposal_spec(), 64, FAST_N_IMPORTANCE
-    )
+    tops = _frame_tops(fine_spec, proposal_spec(), n_coarse, n_fine)
     ms_floor_no_et = tops * 1e12 / INT8_PEAK_TOPS * 1000.0
-    mfu = tops * 1e12 / (ms_fast / 1000.0) / INT8_PEAK_TOPS
+    mfu = tops * 1e12 / (headline_ms / 1000.0) / INT8_PEAK_TOPS
 
     # Training throughput at the shipped office config (1024 rays/step,
     # 64+128 samples, full 8x256 coarse+fine with backward + Adam).
@@ -173,9 +212,14 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "ms_per_frame_640x480",
-                "value": round(ms_fast, 2),
+                "value": round(headline_ms, 2),
                 "unit": "ms",
-                "vs_baseline": round(TARGET_MS / ms_fast, 4),
+                "vs_baseline": round(TARGET_MS / headline_ms, 4),
+                "preset": preset_name,
+                "ms_per_frame_fast_preset": round(ms_fast, 2),
+                "ms_per_frame_turbo": (
+                    round(ms_turbo, 2) if ms_turbo is not None else None
+                ),
                 "ms_per_frame_reference_placement": round(ms_ref, 2),
                 "ms_per_frame_streamed": round(ms_streamed, 2),
                 "rays_per_sec_per_chip": round(rays_per_sec / n_chips),
@@ -184,8 +228,11 @@ def main() -> None:
                 "train_steps_per_sec": round(train_steps_per_sec, 2),
                 "train_steps_per_sec_fused": round(train_steps_per_sec_fused, 2),
                 "n_chips": n_chips,
-                "samples_per_ray": FAST_N_IMPORTANCE,
+                "samples_per_ray": n_fine,
                 "samples_per_ray_reference_placement": 64 + 128,
+                "fine_net": (
+                    f"{fine_spec.depth}x{fine_spec.width}"
+                ),
                 "coarse_net": "proposal-2x64",
                 "precision": precision,
                 "weights": weights_kind,

@@ -23,11 +23,13 @@ def main() -> None:
         "serving mode; TPU only, quality-gated at SSIM >= 0.99)",
     )
     parser.add_argument(
-        "--preset", choices=("reference", "fast"), default="reference",
+        "--preset", choices=("reference", "fast", "turbo"), default="reference",
         help="fine-pass sample placement: reference (merged 64+128 samples, "
-        "identical to the reference renderer) or fast (importance-only "
+        "identical to the reference renderer), fast (importance-only "
         "fine pass — ~2x fewer fine MLP evals, quality-gated by "
-        "scripts/validate_quality.py --fast-preset)",
+        "scripts/validate_quality.py --fast-preset), or turbo (distilled "
+        "narrow student from the checkpoint's .turbo.npz sidecar — "
+        "python -m nerf_workspaces_explorer_tpu.cli.distill)",
     )
     parser.add_argument(
         "--random-init", action="store_true",

@@ -37,10 +37,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--preset", type=str, default="reference",
-        choices=("reference", "fast"),
+        choices=("reference", "fast", "turbo"),
         help="fine-pass placement: reference (merged 64+128, identical to "
-        "the reference renderer) or fast (importance-only fine pass; "
-        "quality-gated by scripts/validate_quality.py --fast-preset)",
+        "the reference renderer), fast (importance-only fine pass; "
+        "quality-gated by scripts/validate_quality.py --fast-preset), or "
+        "turbo (distilled narrow student served from the checkpoint's "
+        ".turbo.npz sidecar — cli/distill.py; gated by --turbo)",
     )
     parser.add_argument(
         "--random-init",

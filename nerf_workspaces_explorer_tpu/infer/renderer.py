@@ -221,8 +221,8 @@ class NeRFRenderer:
         self._settings = settings_from_config(self._config).for_eval()
         if use_proposal:
             self._settings = self._settings._replace(use_proposal=True)
-        if preset not in ("reference", "fast"):
-            raise ValueError(f"unknown preset {preset!r} (reference|fast)")
+        if preset not in ("reference", "fast", "turbo"):
+            raise ValueError(f"unknown preset {preset!r} (reference|fast|turbo)")
         self._preset = preset
         if preset == "fast":
             # Quality-gated fast serving preset: the fine pass evaluates
@@ -231,6 +231,39 @@ class NeRFRenderer:
             # sort(cat(z_vals, z_samples)), …inference_handler.py:243).
             # Gate: scripts/validate_quality.py --fast-preset.
             self._settings = self._settings._replace(merge_coarse=False)
+        if preset == "turbo":
+            # Distilled-student serving preset: a narrow proposal-mode
+            # student (train/distill.py) compressed offline from this
+            # workspace's checkpoint. The student architecture is whatever
+            # the sidecar metadata says — the spec/settings statics are
+            # rebuilt from it here, before any weights load. Gate:
+            # scripts/validate_quality.py --turbo.
+            from nerf_workspaces_explorer_tpu.train.distill import (
+                read_turbo_metadata,
+                student_spec_from_meta,
+                turbo_sidecar_path,
+            )
+
+            if ckpt_path is None:
+                raise ValueError("preset='turbo' requires a checkpoint path")
+            self._turbo_path = turbo_sidecar_path(ckpt_path)
+            if not os.path.exists(self._turbo_path):
+                raise RuntimeError(
+                    f"turbo sidecar {self._turbo_path} not found — distill "
+                    "one first: python -m nerf_workspaces_explorer_tpu.cli."
+                    f"distill --office {office_name}"
+                )
+            meta = read_turbo_metadata(self._turbo_path)
+            self._spec, student = student_spec_from_meta(meta)
+            self._settings = self._settings._replace(
+                use_proposal=True,
+                merge_coarse=False,
+                n_samples=int(student.get("n_samples", 64)),
+                n_importance=int(student["n_importance"]),
+                num_freqs_3d=int(student["num_freqs_3d"]),
+                num_freqs_2d=int(student.get("num_freqs_2d", 4)),
+                proposal_num_freqs=int(student.get("proposal_num_freqs", 6)),
+            )
         if n_importance is not None:
             self._settings = self._settings._replace(n_importance=n_importance)
         self._params: Optional[Dict[str, Any]] = None
@@ -255,7 +288,15 @@ class NeRFRenderer:
         including its RuntimeError on a missing checkpoint — unless
         `allow_random_init` (a framework extension for testing/benchmarks).
         """
-        if self._ckpt_path is not None and os.path.exists(self._ckpt_path):
+        if self._preset == "turbo":
+            # The sidecar's existence was checked in __init__ (the static
+            # spec/settings come from its metadata).
+            from nerf_workspaces_explorer_tpu.train.distill import (
+                load_turbo_checkpoint,
+            )
+
+            self._params, _ = load_turbo_checkpoint(self._turbo_path)
+        elif self._ckpt_path is not None and os.path.exists(self._ckpt_path):
             if self._ckpt_path.endswith(".ckpt"):
                 coarse, fine, _ = load_torch_checkpoint(self._ckpt_path)
                 self._params = {"coarse": coarse, "fine": fine}

@@ -7,13 +7,17 @@ small checkpoints on the synthetic scene and saves them as repo fixtures:
 
   assets/bench/synth_proposal.npz  — proposal(2x64) + fine(8x256), the
                                      serving configuration bench.py times;
-  assets/bench/synth_hier.npz      — coarse+fine 8x256 (reference placement).
+  assets/bench/synth_hier.npz      — coarse+fine 8x256 (reference placement);
+  assets/bench/synth_proposal.turbo.npz — narrow student (default 6x192)
+                                     distilled from the proposal fixture
+                                     (train/distill.py), the turbo preset
+                                     bench.py times when present.
 
-Both train at the shipped office model config (8x256, 64+128 samples,
-1024 rays/step) on the 96x128 synthetic scene; bench.py renders them at
-640x480 with the scene's depth range (0.1, 6.0). Run on the TPU:
+The teachers train at the shipped office model config (8x256, 64+128
+samples, 1024 rays/step) on the 96x128 synthetic scene; bench.py renders
+them at 640x480 with the scene's depth range (0.1, 6.0). Run on the TPU:
 
-  python scripts/make_bench_fixture.py [--steps 3000]
+  python scripts/make_bench_fixture.py [--steps 3000] [--skip-teachers]
 """
 
 import argparse
@@ -84,15 +88,82 @@ def train_one(name, use_proposal, steps, out_dir):
     print(f"[{name}] saved {path} ({size_mb:.1f} MB)")
 
 
+def distill_turbo(steps, out_dir, *, depth=6, width=192, freqs=10,
+                  n_importance_serving=96):
+    """Distill the proposal teacher fixture into the turbo sidecar
+    bench.py times (NeRFRenderer preset='turbo')."""
+    from nerf_workspaces_explorer_tpu.core.config import (
+        ExperimentConfig,
+        FrameworkConfig,
+        RenderingConfig,
+    )
+    from nerf_workspaces_explorer_tpu.data import make_synthetic_scene
+    from nerf_workspaces_explorer_tpu.infer.checkpoint import load_checkpoint
+    from nerf_workspaces_explorer_tpu.infer.renderer import (
+        settings_from_config,
+        spec_from_config,
+    )
+    from nerf_workspaces_explorer_tpu.train.distill import (
+        distill_student,
+        save_turbo_checkpoint,
+        turbo_sidecar_path,
+    )
+
+    teacher_path = os.path.join(out_dir, "synth_proposal.npz")
+    teacher_params, _, _, _ = load_checkpoint(teacher_path)
+    h, w = 96, 128
+    cfg = FrameworkConfig(
+        experiment=ExperimentConfig(image_width=w, image_height=h),
+        rendering=RenderingConfig(depth_range=(0.1, 6.0)),
+    )
+    train, test, _ = make_synthetic_scene(n_train=12, n_test=3, height=h, width=w)
+    poses = np.concatenate([train.camera_pose, test.camera_pose], axis=0)
+    student_params, student_cfg, report = distill_student(
+        teacher_params,
+        spec_from_config(cfg),
+        settings_from_config(cfg).for_eval()._replace(use_proposal=True),
+        poses,
+        height=h, width=w, near=0.1, far=6.0, steps=steps,
+        depth=depth, net_width=width, num_freqs_3d=freqs,
+        n_holdout=3, name="bench_turbo",
+    )
+    sidecar = turbo_sidecar_path(teacher_path)
+    save_turbo_checkpoint(
+        sidecar, student_params, student_cfg,
+        n_importance_serving=n_importance_serving,
+        report=report, teacher=teacher_path, step=steps,
+    )
+    print(
+        f"[turbo] saved {sidecar} ({os.path.getsize(sidecar) / 1e6:.1f} MB), "
+        f"psnr_vs_teacher {report['psnr_vs_teacher']:.2f} dB"
+    )
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--steps", type=int, default=3000)
     parser.add_argument("--out", type=str, default=FIXTURE_DIR)
+    parser.add_argument(
+        "--skip-teachers", action="store_true",
+        help="only distill the turbo sidecar from the existing proposal "
+        "fixture",
+    )
+    parser.add_argument("--turbo-steps", type=int, default=None,
+                        help="distillation steps (default: --steps)")
+    parser.add_argument("--turbo-depth", type=int, default=6)
+    parser.add_argument("--turbo-width", type=int, default=192)
+    parser.add_argument("--turbo-freqs", type=int, default=10)
     args = parser.parse_args()
     out = os.path.abspath(args.out)
     os.makedirs(out, exist_ok=True)
-    train_one("proposal", True, args.steps, out)
-    train_one("hier", False, args.steps, out)
+    if not args.skip_teachers:
+        train_one("proposal", True, args.steps, out)
+        train_one("hier", False, args.steps, out)
+    distill_turbo(
+        args.turbo_steps or args.steps, out,
+        depth=args.turbo_depth, width=args.turbo_width,
+        freqs=args.turbo_freqs,
+    )
 
 
 if __name__ == "__main__":

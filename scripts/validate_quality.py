@@ -14,6 +14,11 @@ fidelity bars PLUS test PSNR within --max-psnr-drop of the hierarchical
 run — the gate that justifies serving/benchmarking with the proposal
 coarse pass.
 
+With --turbo the gated leg's trained model is additionally distilled into a
+narrow student (train/distill.py — the `preset="turbo"` serving path) which
+must hold test-vs-ground-truth PSNR within --max-turbo-psnr-drop of its
+teacher's merged render.
+
 Run on the TPU:  python scripts/validate_quality.py [--steps 3000] [--proposal]
 (Reference quality context: the reference reaches 23-39 dB test PSNR on the
 four Replica offices after 200k steps — BASELINE.md.)
@@ -152,7 +157,85 @@ def run_leg(name, use_proposal, train, test, cfg, args):
         "fidelity": fidelity,
         "fidelity_int8": fidelity_int8,
         "fast": fast,
+        "trainer": trainer,
     }
+
+
+def run_turbo_leg(leg, leg_name, train, test, args):
+    """Distill the leg's trained model into a narrow turbo student and
+    measure the student against the REAL ground truth on the held-out test
+    views at the serving configuration (proposal placement, importance-only,
+    --turbo-n-importance samples). Gate: main()."""
+    from nerf_workspaces_explorer_tpu.infer.renderer import settings_from_config
+    from nerf_workspaces_explorer_tpu.models.encoding import embedding_output_dim
+    from nerf_workspaces_explorer_tpu.models.mlp import NerfMLPSpec
+    from nerf_workspaces_explorer_tpu.train.distill import (
+        distill_student,
+        render_student_views,
+    )
+    from nerf_workspaces_explorer_tpu.utils.metrics import ssim
+
+    tr = leg["trainer"]
+    h, w = args.height, args.width
+    # Teacher views: the train poses PLUS extra orbit rings at offset
+    # angles/radii/heights (the teacher checkpoint renders anywhere — the
+    # dataset-free distillation premise, train/distill.py) so the student
+    # generalizes instead of memorizing the 12 train frusta. Test poses go
+    # last and are held out — the student never trains on a test view.
+    from nerf_workspaces_explorer_tpu.data.synthetic import orbit_poses
+
+    extra = np.concatenate([
+        orbit_poses(10, radius=2.3, height=0.3),
+        orbit_poses(10, radius=2.6, height=0.55),
+        orbit_poses(10, radius=2.45, height=0.75),
+    ], axis=0)
+    poses = np.concatenate(
+        [train.camera_pose, extra, test.camera_pose], axis=0
+    )
+    student_params, student_cfg, dreport = distill_student(
+        tr.params, tr._spec, tr._settings, poses,
+        height=h, width=w, near=0.1, far=6.0,
+        steps=args.turbo_steps, depth=args.turbo_depth,
+        net_width=args.turbo_width, num_freqs_3d=args.turbo_freqs,
+        n_holdout=len(test), name=f"turbo_{leg_name}",
+    )
+    print(
+        f"[turbo] student {args.turbo_depth}x{args.turbo_width} @ "
+        f"{args.turbo_freqs} freqs distilled from [{leg_name}] in "
+        f"{args.turbo_steps} steps: PSNR vs teacher "
+        f"{dreport['psnr_vs_teacher']:.2f} dB on held-out views"
+    )
+    spec = NerfMLPSpec(
+        depth=args.turbo_depth,
+        width=args.turbo_width,
+        input_ch=embedding_output_dim(args.turbo_freqs),
+        input_ch_views=embedding_output_dim(student_cfg.rendering.num_freqs_2d),
+        use_view_dirs=True,
+    )
+    settings = settings_from_config(student_cfg).for_eval()._replace(
+        use_proposal=True, merge_coarse=False,
+        n_importance=args.turbo_n_importance,
+    )
+    rgb = render_student_views(
+        student_params, spec, settings, test.camera_pose, h, w,
+        near=0.1, far=6.0,
+    )
+    psnrs = [
+        -10 * np.log10(float(np.mean((rgb[i] - test.rgb[i]) ** 2)))
+        for i in range(len(test))
+    ]
+    ssims = [ssim(rgb[i], test.rgb[i]) for i in range(len(test))]
+    out = {
+        "psnr": float(np.mean(psnrs)),
+        "ssim": float(np.mean(ssims)),
+        "psnr_vs_teacher": float(dreport["psnr_vs_teacher"]),
+    }
+    print(
+        f"[turbo] TEST vs ground truth (serving config, "
+        f"n_importance={args.turbo_n_importance}): PSNR {out['psnr']:.2f} dB "
+        f"(teacher merged {leg['psnr']:.2f}), SSIM {out['ssim']:.4f}"
+    )
+    return out
 
 
 def main() -> None:
@@ -193,6 +276,24 @@ def main() -> None:
              "more test PSNR than this vs the same leg's merged render (dB)",
     )
     parser.add_argument(
+        "--turbo", action="store_true",
+        help="also distill + gate the narrow turbo student "
+             "(train/distill.py; served by NeRFRenderer preset='turbo')",
+    )
+    parser.add_argument("--turbo-steps", type=int, default=3000)
+    parser.add_argument("--turbo-depth", type=int, default=6)
+    parser.add_argument("--turbo-width", type=int, default=192)
+    parser.add_argument("--turbo-freqs", type=int, default=10)
+    parser.add_argument(
+        "--turbo-n-importance", type=int, default=96,
+        help="--turbo: importance samples the student serves with",
+    )
+    parser.add_argument(
+        "--max-turbo-psnr-drop", type=float, default=1.0,
+        help="--turbo: fail if the student loses more test-vs-ground-truth "
+             "PSNR than this vs its teacher leg's merged render (dB)",
+    )
+    parser.add_argument(
         "--report", type=str, default=None, metavar="MD_PATH",
         help="also write the measured table as a markdown report "
              "(e.g. reports/quality_gate_20k.md)",
@@ -224,6 +325,12 @@ def main() -> None:
 
     hier = run_leg("hier", False, train, test, cfg, args)
     prop = run_leg("prop", True, train, test, cfg, args) if args.proposal else None
+    turbo = None
+    if args.turbo:
+        teacher_leg, teacher_name = (
+            (prop, "prop") if prop is not None else (hier, "hier")
+        )
+        turbo = run_turbo_leg(teacher_leg, teacher_name, train, test, args)
 
     failures = []
     if hier["psnr"] < args.min_psnr:
@@ -272,6 +379,20 @@ def main() -> None:
                 f"fast preset (n_importance={gate_n}) loses {drop:.2f} dB "
                 f"> allowed {args.max_fast_psnr_drop} vs merged placement"
             )
+    if turbo is not None:
+        teacher = prop if prop is not None else hier
+        drop = teacher["psnr"] - turbo["psnr"]
+        print(
+            f"turbo gate [{args.turbo_depth}x{args.turbo_width}@"
+            f"{args.turbo_freqs}f, n_importance={args.turbo_n_importance}]: "
+            f"PSNR drop {drop:+.2f} dB vs teacher merged "
+            f"(allowed {args.max_turbo_psnr_drop})"
+        )
+        if drop > args.max_turbo_psnr_drop:
+            failures.append(
+                f"turbo student loses {drop:.2f} dB > allowed "
+                f"{args.max_turbo_psnr_drop} vs its teacher's merged render"
+            )
     if args.report:
         os.makedirs(os.path.dirname(os.path.abspath(args.report)), exist_ok=True)
         with open(args.report, "w") as f:
@@ -281,6 +402,7 @@ def main() -> None:
                 f"{args.steps}"
                 + (" --proposal" if args.proposal else "")
                 + (" --fast-preset" if args.fast_preset else "")
+                + (" --turbo" if args.turbo else "")
                 + f"`. Scene: {args.height}x{args.width} synthetic, 12 train"
                 " / 3 test views; shipped office model config. Test renders"
                 " use the fused Pallas kernel (the serving path).\n\n"
@@ -301,6 +423,13 @@ def main() -> None:
                         f"n_importance={n_imp} | {row['psnr']:.2f} "
                         f"| {row['ssim']:.4f} | — | — |\n"
                     )
+            if turbo is not None:
+                f.write(
+                    f"| turbo | distilled {args.turbo_depth}x"
+                    f"{args.turbo_width}@{args.turbo_freqs}f student, "
+                    f"n_importance={args.turbo_n_importance} "
+                    f"| {turbo['psnr']:.2f} | {turbo['ssim']:.4f} | — | — |\n"
+                )
             f.write(
                 "\nResult: "
                 + ("**QUALITY GATE FAILED**: " + "; ".join(failures)

@@ -1,0 +1,166 @@
+"""Distillation (train/distill.py) + turbo serving preset tests.
+
+The distilled-student pipeline is a framework extension (the reference
+always serves the full pipeline, …inference_handler.py:166-277); these
+tests exercise the full loop at CPU-tractable sizes: teacher training ->
+teacher-view rendering -> student distillation -> sidecar save/load ->
+NeRFRenderer(preset="turbo") serving.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from nerf_workspaces_explorer_tpu.core.config import (
+    ExperimentConfig,
+    FrameworkConfig,
+    LoggingConfig,
+    ModelConfig,
+    RenderingConfig,
+)
+from nerf_workspaces_explorer_tpu.data import make_synthetic_scene
+from nerf_workspaces_explorer_tpu.train import Trainer
+from nerf_workspaces_explorer_tpu.train.distill import (
+    distill_student,
+    office_distill_poses,
+    read_turbo_metadata,
+    render_teacher_views,
+    save_turbo_checkpoint,
+    student_spec_from_meta,
+    turbo_sidecar_path,
+)
+
+H, W = 24, 32
+
+
+def _silent_logging():
+    return LoggingConfig(
+        step_log_print=0,
+        step_log_tensorboard=2**31 - 1,
+        step_save_ckpt=0,
+        step_render_test=0,
+        step_render_train=0,
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_teacher(tmp_path_factory):
+    """A small teacher trained briefly on the synthetic scene."""
+    cfg = FrameworkConfig(
+        experiment=ExperimentConfig(image_width=W, image_height=H),
+        model=ModelConfig(net_depth=4, net_width=64, net_depth_fine=4,
+                          net_width_fine=64, chunk=4096),
+        rendering=RenderingConfig(
+            n_rays=256, n_samples=16, n_importance=16, num_freqs_3d=6,
+            num_freqs_2d=2, depth_range=(0.1, 6.0), raw_noise_std=1.0,
+        ),
+        logging=_silent_logging(),
+    )
+    train, test, _ = make_synthetic_scene(n_train=4, n_test=1, height=H, width=W)
+    trainer = Trainer(
+        "distill_teacher", cfg, train_data=train, test_data=test,
+        save_dir=str(tmp_path_factory.mktemp("teacher")),
+        enable_tensorboard=False, seed=0,
+    )
+    trainer.setup()
+    for i in range(120):
+        trainer.step(i)
+    poses = np.concatenate([train.camera_pose, test.camera_pose], axis=0)
+    return trainer, cfg, poses
+
+
+def test_render_teacher_views_shapes(tiny_teacher):
+    trainer, cfg, poses = tiny_teacher
+    rgb = render_teacher_views(
+        trainer.params, trainer._spec, trainer._settings, poses[:2], H, W,
+        near=0.1, far=6.0, use_pallas=False,
+    )
+    assert rgb.shape == (2, H, W, 3)
+    assert np.isfinite(rgb).all()
+    assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+    # A trained teacher renders structure, not a constant field.
+    assert rgb.std() > 0.01
+
+
+def test_distill_and_turbo_roundtrip(tiny_teacher, tmp_path):
+    trainer, cfg, poses = tiny_teacher
+
+    student_params, student_cfg, report = distill_student(
+        trainer.params, trainer._spec, trainer._settings, poses,
+        height=H, width=W, near=0.1, far=6.0, steps=60,
+        depth=2, net_width=32, num_freqs_3d=5, n_holdout=1,
+        use_pallas=False, log_every=0, name="distill_test",
+    )
+    assert "proposal" in student_params and "fine" in student_params
+    assert np.isfinite(report["psnr_vs_teacher"])
+    # 60 steps won't converge; just require better-than-garbage (a black
+    # frame against these scenes sits near ~6-8 dB).
+    assert report["psnr_vs_teacher"] > 8.0
+
+    # Sidecar roundtrip next to a fake teacher checkpoint path.
+    teacher_ckpt = str(tmp_path / "model.npz")
+    sidecar = turbo_sidecar_path(teacher_ckpt)
+    assert sidecar == str(tmp_path / "model.turbo.npz")
+    save_turbo_checkpoint(
+        sidecar, student_params, student_cfg,
+        n_importance_serving=12, report=report, teacher=teacher_ckpt,
+    )
+    meta = read_turbo_metadata(sidecar)
+    assert meta["turbo"] is True
+    assert meta["student"]["width"] == 32
+    assert meta["student"]["n_importance"] == 12
+    assert meta["distill_report"]["psnr_vs_teacher"] == pytest.approx(
+        report["psnr_vs_teacher"]
+    )
+    spec, student = student_spec_from_meta(meta)
+    assert spec.width == 32 and spec.depth == 2
+    assert spec.input_ch == 3 * (1 + 2 * 5)
+
+    # The turbo renderer serves the student end-to-end.
+    from nerf_workspaces_explorer_tpu.core.types import COORD
+    from nerf_workspaces_explorer_tpu.infer.renderer import NeRFRenderer
+
+    render_cfg = FrameworkConfig(
+        experiment=ExperimentConfig(image_width=W, image_height=H),
+        rendering=RenderingConfig(depth_range=(0.1, 6.0)),
+        logging=_silent_logging(),
+    )
+    r = NeRFRenderer(
+        "tokyo", teacher_ckpt, config=render_cfg, precision="parity",
+        use_pallas=False, preset="turbo",
+    )
+    # Turbo statics come from the sidecar, not the office config.
+    assert r._spec.width == 32
+    assert r._settings.use_proposal and not r._settings.merge_coarse
+    assert r._settings.n_importance == 12
+    assert r._settings.num_freqs_3d == 5
+    r.initialize_models()
+    img = r.render_coordinates(COORD(x=0.0, y=0.0, z=2.5, pitch=-90.0), COORD())
+    assert img.shape == (H, W, 3) and img.dtype == np.uint8
+    assert np.isfinite(img.astype(np.float64)).all()
+
+
+def test_turbo_requires_sidecar(tmp_path):
+    from nerf_workspaces_explorer_tpu.infer.renderer import NeRFRenderer
+
+    with pytest.raises(RuntimeError, match="turbo sidecar"):
+        NeRFRenderer(
+            "tokyo", str(tmp_path / "missing.npz"), precision="parity",
+            use_pallas=False, preset="turbo",
+        )
+    with pytest.raises(ValueError, match="requires a checkpoint"):
+        NeRFRenderer("tokyo", None, precision="parity", use_pallas=False,
+                     preset="turbo")
+
+
+def test_office_distill_poses_cover_the_floor_plan():
+    poses = office_distill_poses("tokyo", grid=2, yaw_step_degrees=90.0)
+    assert poses.shape == (2 * 2 * 4, 4, 4)
+    # Valid rigid transforms: orthonormal rotation blocks.
+    for p in poses[:4]:
+        rot = p[:3, :3]
+        np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-5)
+    # Distinct camera positions across the lattice.
+    assert np.unique(np.round(poses[:, :3, 3], 4), axis=0).shape[0] > 1
