@@ -165,6 +165,35 @@ class KernelParams(NamedTuple):
     s_rgb: float = 1.0  # rgb int32-acc -> fp32 scale
 
 
+def _balanced_requant(
+    w_unit: float, in_unit: float, target: float
+) -> Tuple[float, int]:
+    """Pick the requant shift k and (possibly inflated) weight unit so the
+    post-shift activation unit lands as close to the calibrated target as
+    int8 weights + power-of-2 shifts allow.
+
+    The accumulator's real scale is raw = w_unit * in_unit and the
+    activation quant unit is raw * 2^k, which must be >= target (k >= 0,
+    right shifts only) to cover the calibrated activation max. Plain
+    k = ceil(log2(target / raw)) overshoots the target by up to 2x — a full
+    bit of activation resolution lost. When that overshoot exceeds sqrt(2),
+    floor k instead and absorb the residual factor into the WEIGHT unit
+    (the layer's weights then still use >= 89 of the 127 int8 levels and
+    the activation unit lands exactly on target): the worst-case
+    resolution loss per requant stage drops from 2x to sqrt(2)x.
+    Returns (w_unit, k)."""
+    t = target / (w_unit * in_unit)
+    if t <= 1.0:
+        # The accumulator is already coarser than the target unit; k = 0 is
+        # the finest reachable activation unit.
+        return w_unit, 0
+    k = math.floor(math.log2(t))
+    s = t / 2.0**k  # overshoot of the floored shift, in [1, 2)
+    if s <= math.sqrt(2.0):
+        return w_unit * s, k  # activation unit == target exactly
+    return w_unit, k + 1
+
+
 def prepare_kernel_params(
     params: Dict[str, Any],
     spec: Optional[NerfMLPSpec] = None,
@@ -224,15 +253,23 @@ def prepare_kernel_params(
 
         # int8 trunk with POWER-OF-2 requantization: acc_i32 carries real
         # scale `raw = w_unit * in_unit`; the next activation's quant unit
-        # is forced to raw * 2^k (k chosen so the unit covers the
-        # calibrated h_max), so the whole dequant+bias+relu+requant
-        # epilogue is integer-only: clip((acc + b_i32) >> k, 0, 127).
-        # Rounding rides for free as a +2^(k-1) offset inside b_i32; the
-        # 0-clip IS the relu. The last layer's real scale folds into the
-        # bf16 head weights instead (zero per-sample cost).
+        # is forced to raw * 2^k (k and w_unit balanced by
+        # _balanced_requant so the unit covers the calibrated h_max while
+        # losing at most sqrt(2)x resolution), so the whole
+        # dequant+bias+relu+requant epilogue is integer-only:
+        # clip((acc + b_i32) >> k, 0, 127). Rounding rides for free as a
+        # +2^(k-1) offset inside b_i32; the 0-clip IS the relu. The last
+        # layer's real scale folds into the bf16 head weights instead
+        # (zero per-sample cost).
         feat_unit = quant.feat_max / 127.0
         in_unit = feat_unit if i == 0 else h_unit
         w_unit = quant.w_max[i] / 127.0
+        k = None
+        if i < n_layers - 1 or int8_heads:
+            target = (
+                quant.h_max[i] if i < n_layers - 1 else quant.h_last_max
+            ) / 127.0
+            w_unit, k = _balanced_requant(w_unit, in_unit, target)
         raw = w_unit * in_unit
         if w_skip_t is not None:
             # Match the skip dot's scale to raw via a power-of-2 shift: the
@@ -263,13 +300,9 @@ def prepare_kernel_params(
             skip_unit = raw / (2.0**j) / feat_unit
             skip_shift.append(j)
             w_skip_enc.append(quantize_w(w_skip_t, skip_unit))
-        if i < n_layers - 1 or int8_heads:
+        if k is not None:
             # int8-head mode also requantizes the FINAL trunk activation to
             # int8 so the fa head matmul runs int8 x int8 on the MXU.
-            target = (
-                quant.h_max[i] if i < n_layers - 1 else quant.h_last_max
-            ) / 127.0
-            k = max(0, math.ceil(math.log2(target / raw)))
             h_unit = raw * (2.0**k)
             shift_layers.append(k)
             b_q = jnp.round(b / raw).astype(jnp.int32)
@@ -321,7 +354,11 @@ def prepare_kernel_params(
         # view accumulator's integer domain ONCE per tile (kernel g==0).
         u_feat_w = quant.w_feat_max / 127.0
         u_alpha_w = quant.w_alpha_max / 127.0
-        s_feat_acc = u_feat_w * h_unit  # h_unit = final trunk activation unit
+        # Feature head output is SIGNED: requant clips to [-127, 127].
+        u_feat_w, k_feat = _balanced_requant(
+            u_feat_w, h_unit, quant.feature_max / 127.0
+        )  # h_unit = final trunk activation unit
+        s_feat_acc = u_feat_w * h_unit
         s_alpha = u_alpha_w * h_unit
         w_fa_q = jnp.zeros((fa_rows, width), dtype=jnp.int8)
         w_fa_q = w_fa_q.at[:width].set(quantize_w(w_fa[:width], u_feat_w))
@@ -329,10 +366,6 @@ def prepare_kernel_params(
             quantize_w(w_fa[width : width + 1], u_alpha_w)
         )
         w_fa = w_fa_q
-        # Feature head output is SIGNED: requant clips to [-127, 127].
-        k_feat = max(
-            0, math.ceil(math.log2((quant.feature_max / 127.0) / s_feat_acc))
-        )
         feat_unit = s_feat_acc * (2.0**k_feat)
         b_fa_q = jnp.zeros((fa_rows, 1), dtype=jnp.int32)
         b_feat_q = jnp.round(b_fa[:width] / s_feat_acc).astype(jnp.int32)
@@ -345,10 +378,10 @@ def prepare_kernel_params(
         b_fa = b_fa_q
 
         u_vh_w = quant.w_view_h_max / 127.0
+        u_vh_w, k_hv = _balanced_requant(u_vh_w, feat_unit, quant.hv_max / 127.0)
         s_view_acc = u_vh_w * feat_unit
         inv_s_view = 1.0 / s_view_acc
         w_view_h = quantize_w(w_view_h, u_vh_w)
-        k_hv = max(0, math.ceil(math.log2((quant.hv_max / 127.0) / s_view_acc)))
         hv_unit = s_view_acc * (2.0**k_hv)
 
         u_rgb_w = quant.w_rgb_max / 127.0

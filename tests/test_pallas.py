@@ -198,6 +198,33 @@ def test_int8_quant_scales_are_static_floats(params):
     assert all(isinstance(s, int) and s >= 0 for s in kp.shift_layers)
 
 
+def test_balanced_requant_bounds():
+    """_balanced_requant: the activation unit must cover the calibrated
+    target (no clipping), weights must never clip (unit >= w_max/127), and
+    the worst-case resolution loss on either side is sqrt(2), not the 2x a
+    plain ceil(log2) shift costs."""
+    import itertools
+    import math
+
+    from nerf_workspaces_explorer_tpu.ops.pallas_render import _balanced_requant
+
+    sqrt2 = math.sqrt(2.0) + 1e-12
+    for w_unit, in_unit, target in itertools.product(
+        [1e-4, 3.7e-3, 0.11, 1.0], [1e-3, 0.42, 2.0], [1e-4, 9e-3, 0.3, 5.0, 77.0]
+    ):
+        unit, k = _balanced_requant(w_unit, in_unit, target)
+        assert isinstance(k, int) and k >= 0
+        assert unit >= w_unit - 1e-15  # weights never clip
+        assert unit / w_unit <= sqrt2  # bounded weight-resolution loss
+        h_unit = unit * in_unit * 2.0**k
+        if target >= w_unit * in_unit:  # reachable target
+            assert h_unit >= target * (1.0 - 1e-12)  # activations never clip
+            assert h_unit / target <= sqrt2  # bounded activation loss
+        else:
+            # Unreachable (k=0 is already the finest unit): exact raw scale.
+            assert k == 0 and unit == w_unit
+
+
 def test_int8_head_params_and_statics(params):
     """Full-int8 serving (the heads=True default): head weights quantize to
     int8, head biases to int32, and every requant constant is a static
