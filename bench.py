@@ -184,6 +184,28 @@ def main() -> None:
         n_coarse, n_fine = 64, FAST_N_IMPORTANCE
         fine_spec = NerfMLPSpec()
 
+    # Product-config frame (BASELINE.md north star: <100 ms for the
+    # 320x240 office view, stated for a v4-8; this is ONE v5e chip):
+    # the same headline preset at the reference's shipped resolution.
+    config320 = FrameworkConfig(
+        experiment=ExperimentConfig(image_width=320, image_height=240),
+        rendering=RenderingConfig(depth_range=depth_range),
+    )
+    if ms_turbo is not None:
+        r320 = NeRFRenderer(
+            "office_tokyo", FIXTURE, config=config320, precision=precision,
+            use_pallas=use_pallas, preset="turbo",
+        )
+        r320.initialize_models()
+    else:
+        r320 = NeRFRenderer(
+            "office_tokyo", None, config=config320, precision=precision,
+            use_pallas=use_pallas, use_proposal=True, preset="fast",
+            n_importance=FAST_N_IMPORTANCE,
+        )
+        r320.set_params(params)
+    ms_320 = _time_renderer(r320, pose)
+
     # Tour/video throughput on the headline preset: the pipelined stream
     # overlaps device compute with the host download.
     tour = poses_from_coordinates(
@@ -221,6 +243,7 @@ def main() -> None:
                     round(ms_turbo, 2) if ms_turbo is not None else None
                 ),
                 "ms_per_frame_reference_placement": round(ms_ref, 2),
+                "ms_per_frame_320x240_product_config": round(ms_320, 2),
                 "ms_per_frame_streamed": round(ms_streamed, 2),
                 "rays_per_sec_per_chip": round(rays_per_sec / n_chips),
                 "mfu": round(mfu, 4),

@@ -83,6 +83,8 @@ def calibrate_trunk(
     box: float = 8.0,
     margin: float = 1.05,
     heads: bool = True,
+    pts: Optional[np.ndarray] = None,
+    percentile: Optional[float] = 99.5,
 ) -> TrunkQuant:
     """Measure trunk (and, with `heads`, head) activation/weight maxima on a
     batch of scene points.
@@ -90,16 +92,35 @@ def calibrate_trunk(
     Runs EAGERLY on concrete fp32 params (call before jit tracing). Points
     sample U(-box, box)^3 — the workspaces' cameras and geometry live well
     inside +-8 m (application/workspace.py calibration extents); view
-    directions sample the unit sphere.
-    """
+    directions sample the unit sphere. Pass `pts` ([N, 3]) to calibrate on
+    REAL scene samples instead (e.g. stratified points along probe-pose
+    rays — what the serving path actually evaluates). With `percentile`,
+    ACTIVATION maxima clip at that percentile of the calibration batch
+    (TensorRT-style saturation of rare outliers buys resolution for the
+    bulk; weight maxima always stay exact — weight clipping is a
+    deterministic, permanent error). The 99.5 default halves the int8
+    error vs exact maxima on the trained fixture (mean 1.69e-3 ->
+    7.2e-4, p99 7.2e-3 -> 2.5e-3 — /tmp probe 2026-08-17); pass
+    percentile=None for exact-max calibration."""
     if spec is None:
         spec = NerfMLPSpec()
     rng = np.random.default_rng(seed)
-    pts = rng.uniform(-box, box, size=(n_points, 3)).astype(np.float32)
+    if pts is None:
+        pts = rng.uniform(-box, box, size=(n_points, 3)).astype(np.float32)
+    else:
+        pts = np.asarray(pts, dtype=np.float32).reshape(-1, 3)
+        n_points = pts.shape[0]
+
+    def amax(x: np.ndarray) -> float:
+        a = np.abs(x)
+        if percentile is None:
+            return float(a.max())
+        return float(np.percentile(a, percentile))
+
     num_freqs = (spec.input_ch - 3) // 6
     feat = _encode_np(pts, num_freqs, 10.0)
 
-    feat_max = float(np.max(np.abs(feat)))
+    feat_max = amax(feat)
     h = feat
     h_max, w_max, skip_w_max = [], [], []
     for i, layer in enumerate(params["pts"]):
@@ -114,7 +135,7 @@ def calibrate_trunk(
             w_max.append(float(np.max(np.abs(w))))
         h = np.maximum(h @ w + b, 0.0)
         if i < len(params["pts"]) - 1:
-            h_max.append(float(np.max(h)) * margin)
+            h_max.append(amax(h) * margin)
 
     if not heads or not spec.use_view_dirs or "feature" not in params:
         return TrunkQuant(
@@ -145,9 +166,9 @@ def calibrate_trunk(
         h_max=tuple(h_max),
         w_max=tuple(w_max),
         skip_w_max=tuple(skip_w_max),
-        h_last_max=float(np.max(h)) * margin,
-        feature_max=float(np.max(np.abs(feature))) * margin,
-        hv_max=float(np.max(hv)) * margin,
+        h_last_max=amax(h) * margin,
+        feature_max=amax(feature) * margin,
+        hv_max=amax(hv) * margin,
         w_feat_max=float(np.max(np.abs(w_f))),
         w_alpha_max=float(np.max(np.abs(w_a))),
         w_view_h_max=float(np.max(np.abs(w_v[: spec.width]))),

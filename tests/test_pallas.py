@@ -198,6 +198,28 @@ def test_int8_quant_scales_are_static_floats(params):
     assert all(isinstance(s, int) and s >= 0 for s in kp.shift_layers)
 
 
+def test_calibration_percentile_and_pts(params):
+    """Percentile calibration (the serving default) must yield tighter
+    (or equal) activation maxima than exact-max, identical weight maxima,
+    and accept caller-provided real scene points."""
+    import numpy as np
+
+    from nerf_workspaces_explorer_tpu.ops.quantize import calibrate_trunk
+
+    exact = calibrate_trunk(params["fine"], SPEC, box=4.0, percentile=None)
+    clipped = calibrate_trunk(params["fine"], SPEC, box=4.0, percentile=99.5)
+    assert clipped.w_max == exact.w_max  # weights never percentile-clip
+    assert clipped.skip_w_max == exact.skip_w_max
+    assert all(c <= e for c, e in zip(clipped.h_max, exact.h_max))
+    assert clipped.h_last_max <= exact.h_last_max
+    assert clipped.feature_max <= exact.feature_max
+
+    pts = np.random.default_rng(1).uniform(-2, 2, size=(512, 3))
+    real = calibrate_trunk(params["fine"], SPEC, pts=pts)
+    assert real.w_max == exact.w_max
+    assert all(np.isfinite(v) and v > 0 for v in real.h_max)
+
+
 def test_balanced_requant_bounds():
     """_balanced_requant: the activation unit must cover the calibrated
     target (no clipping), weights must never clip (unit >= w_max/127), and
