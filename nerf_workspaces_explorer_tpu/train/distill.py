@@ -204,12 +204,18 @@ def distill_student(
     field_impl: Optional[str] = None,
     log_every: int = 500,
     name: str = "distill",
+    teacher_rgb: Optional[np.ndarray] = None,
 ) -> Tuple[Dict[str, Any], FrameworkConfig, Dict[str, Any]]:
     """Distill (teacher_params, spec, settings) into a narrow student.
 
     Returns (student_params, student_cfg, report). `report` carries the
     student-vs-teacher PSNR on `n_holdout` held-out teacher views — the
     quantity validate_quality.py --turbo gates on.
+
+    `teacher_rgb` ([len(poses), H, W, 3], from render_teacher_views) skips
+    the teacher rendering pass — pass it when distilling several student
+    candidates from one teacher so the teacher renders (and their Pallas
+    compiles) are paid once.
     """
     from nerf_workspaces_explorer_tpu.train.loop import Trainer
 
@@ -218,10 +224,18 @@ def distill_student(
         raise ValueError(
             f"need at least {n_holdout + 2} poses, got {poses.shape[0]}"
         )
-    rgb = render_teacher_views(
-        teacher_params, teacher_spec, teacher_settings, poses, height, width,
-        near=near, far=far, use_pallas=use_pallas,
-    )
+    if teacher_rgb is not None:
+        rgb = np.asarray(teacher_rgb, dtype=np.float32)
+        if rgb.shape != (poses.shape[0], height, width, 3):
+            raise ValueError(
+                f"teacher_rgb shape {rgb.shape} != "
+                f"{(poses.shape[0], height, width, 3)}"
+            )
+    else:
+        rgb = render_teacher_views(
+            teacher_params, teacher_spec, teacher_settings, poses, height,
+            width, near=near, far=far, use_pallas=use_pallas,
+        )
     depth_maps = np.zeros(rgb.shape[:3], dtype=np.float32)
     n_train = poses.shape[0] - n_holdout
     train_data = SceneData(rgb[:n_train], depth_maps[:n_train], poses[:n_train])

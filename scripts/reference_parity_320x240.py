@@ -175,6 +175,7 @@ def main():
     import hashlib
 
     digest = hashlib.md5()
+    digest.update(args.office.encode())
     digest.update(weights_kind.encode())
     digest.update(np.asarray(params["fine"]["alpha"]["b"]).tobytes())
     digest.update(np.asarray(params["fine"]["pts"][0]["w"]).tobytes())
@@ -291,6 +292,13 @@ def main():
             )
         f.write(
             "\nGate (BASELINE.md north star): SSIM >= 0.99 for every mode.\n\n"
+            "Workspace coverage: the four reference office configs are "
+            "value-identical (md5-equal modulo a trailing newline; "
+            "`nerf/configs/office_*_config.yaml`), so one office's "
+            "product-resolution render parity covers all four — the only "
+            "per-office behavior is the workspace COORD->pose calibration, "
+            "which `tests/test_app.py` checks against the reference's own "
+            "workspace classes for every office.\n\n"
         )
         passed = [(n, s) for n, s, *_ in rows if s >= 0.99]
         failed = [(n, s) for n, s, *_ in rows if s < 0.99]

@@ -142,6 +142,31 @@ def test_distill_and_turbo_roundtrip(tiny_teacher, tmp_path):
     assert np.isfinite(img.astype(np.float64)).all()
 
 
+def test_distill_accepts_precomputed_teacher_views(tiny_teacher):
+    """distill_student(teacher_rgb=...) must skip the teacher render pass
+    (candidate-architecture sweeps pay it once) and validate its shape."""
+    trainer, cfg, poses = tiny_teacher
+    rgb = render_teacher_views(
+        trainer.params, trainer._spec, trainer._settings, poses, H, W,
+        near=0.1, far=6.0, use_pallas=False,
+    )
+    _, _, report = distill_student(
+        trainer.params, trainer._spec, trainer._settings, poses,
+        height=H, width=W, near=0.1, far=6.0, steps=30,
+        depth=2, net_width=32, num_freqs_3d=5, n_holdout=1,
+        use_pallas=False, log_every=0, name="distill_pre",
+        teacher_rgb=rgb,
+    )
+    assert np.isfinite(report["psnr_vs_teacher"])
+    with pytest.raises(ValueError, match="teacher_rgb shape"):
+        distill_student(
+            trainer.params, trainer._spec, trainer._settings, poses,
+            height=H, width=W, near=0.1, far=6.0, steps=10,
+            depth=2, net_width=32, num_freqs_3d=5, n_holdout=1,
+            use_pallas=False, log_every=0, teacher_rgb=rgb[:1],
+        )
+
+
 def test_turbo_requires_sidecar(tmp_path):
     from nerf_workspaces_explorer_tpu.infer.renderer import NeRFRenderer
 
