@@ -89,7 +89,7 @@ def train_one(name, use_proposal, steps, out_dir):
 
 
 def distill_turbo(steps, out_dir, *, depth=6, width=192, freqs=10,
-                  n_importance_serving=96):
+                  n_importance_serving=96, n_samples=None):
     """Distill the proposal teacher fixture into the turbo sidecar
     bench.py times (NeRFRenderer preset='turbo')."""
     from nerf_workspaces_explorer_tpu.core.config import (
@@ -125,7 +125,7 @@ def distill_turbo(steps, out_dir, *, depth=6, width=192, freqs=10,
         poses,
         height=h, width=w, near=0.1, far=6.0, steps=steps,
         depth=depth, net_width=width, num_freqs_3d=freqs,
-        n_holdout=3, name="bench_turbo",
+        n_holdout=3, name="bench_turbo", n_samples=n_samples,
     )
     sidecar = turbo_sidecar_path(teacher_path)
     save_turbo_checkpoint(
@@ -153,6 +153,11 @@ def main():
     parser.add_argument("--turbo-depth", type=int, default=6)
     parser.add_argument("--turbo-width", type=int, default=192)
     parser.add_argument("--turbo-freqs", type=int, default=10)
+    parser.add_argument("--turbo-n-samples", type=int, default=None,
+                        help="uniform proposal-pass samples the student "
+                        "trains and serves with")
+    parser.add_argument("--turbo-n-importance", type=int, default=96,
+                        help="importance samples the turbo preset serves")
     args = parser.parse_args()
     out = os.path.abspath(args.out)
     os.makedirs(out, exist_ok=True)
@@ -162,7 +167,8 @@ def main():
     distill_turbo(
         args.turbo_steps or args.steps, out,
         depth=args.turbo_depth, width=args.turbo_width,
-        freqs=args.turbo_freqs,
+        freqs=args.turbo_freqs, n_samples=args.turbo_n_samples,
+        n_importance_serving=args.turbo_n_importance,
     )
 
 

@@ -63,6 +63,15 @@ def main():
         "in /tmp/turbo_probe (retime serving only)",
     )
     parser.add_argument(
+        "--n-samples", type=int, default=None,
+        help="uniform proposal-pass samples the student trains and serves "
+        "with (default: teacher's 64)",
+    )
+    parser.add_argument(
+        "--n-importance", type=int, default=96,
+        help="importance samples the student serves with",
+    )
+    parser.add_argument(
         "--out", type=str,
         default=os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "..", "reports",
@@ -110,13 +119,20 @@ def main():
     poses = np.concatenate([train.camera_pose, test.camera_pose], axis=0)
 
     candidates = parse_candidates(args.candidates)
+    samp_tag = (
+        f"_s{args.n_samples}i{args.n_importance}"
+        if (args.n_samples, args.n_importance) != (None, 96) else ""
+    )
     need_distill = [
         (d, wd, fq) for d, wd, fq in candidates
         if not (
             args.reuse
             and os.path.exists(
                 turbo_sidecar_path(
-                    os.path.join("/tmp/turbo_probe", f"teacher_{d}x{wd}x{fq}.npz")
+                    os.path.join(
+                        "/tmp/turbo_probe",
+                        f"teacher_{d}x{wd}x{fq}{samp_tag}.npz",
+                    )
                 )
             )
         )
@@ -144,7 +160,9 @@ def main():
         # One teacher copy per candidate: the renderer derives the sidecar
         # path from the checkpoint path, and persisting every candidate's
         # sidecar lets --reuse retime without redistilling.
-        teacher_copy = os.path.join(workdir, f"teacher_{depth}x{width}x{freqs}.npz")
+        teacher_copy = os.path.join(
+            workdir, f"teacher_{depth}x{width}x{freqs}{samp_tag}.npz"
+        )
         shutil.copy(TEACHER, teacher_copy)
         sidecar = turbo_sidecar_path(teacher_copy)
         if args.reuse and os.path.exists(sidecar):
@@ -164,11 +182,12 @@ def main():
                 height=h, width=w, near=near, far=far, steps=args.steps,
                 depth=depth, net_width=width, num_freqs_3d=freqs,
                 n_holdout=3, name=f"probe_{depth}x{width}",
-                teacher_rgb=teacher_rgb,
+                teacher_rgb=teacher_rgb, n_samples=args.n_samples,
             )
             save_turbo_checkpoint(
                 sidecar, student_params, student_cfg,
-                n_importance_serving=96, report=report, teacher=teacher_copy,
+                n_importance_serving=args.n_importance, report=report,
+                teacher=teacher_copy,
                 step=args.steps,
             )
             t_distill = time.time() - t0
@@ -203,7 +222,9 @@ def main():
             f"Teacher: `assets/bench/synth_proposal.npz` (proposal 2x64 + "
             f"fine 8x256, trained synthetic). Distill {args.steps} steps on "
             f"{poses.shape[0] - 3} teacher views, 3 held out; serving = int8 "
-            "turbo preset (proposal placement, importance-only 96 samples), "
+            f"turbo preset (proposal placement at "
+            f"{args.n_samples or 64} uniform samples, importance-only "
+            f"{args.n_importance} samples), "
             "bench.py timing protocol on one v5e. Baseline from BENCH: "
             "6x192@10f = 212.0 ms @ 640x480, 76.7 ms @ 320x240, "
             "28.95 dB vs teacher (8k-step distill).\n\n"

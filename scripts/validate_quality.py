@@ -198,6 +198,7 @@ def run_turbo_leg(leg, leg_name, train, test, args):
         steps=args.turbo_steps, depth=args.turbo_depth,
         net_width=args.turbo_width, num_freqs_3d=args.turbo_freqs,
         n_holdout=len(test), name=f"turbo_{leg_name}",
+        n_samples=args.turbo_n_samples,
     )
     print(
         f"[turbo] student {args.turbo_depth}x{args.turbo_width} @ "
@@ -287,6 +288,11 @@ def main() -> None:
     parser.add_argument(
         "--turbo-n-importance", type=int, default=96,
         help="--turbo: importance samples the student serves with",
+    )
+    parser.add_argument(
+        "--turbo-n-samples", type=int, default=None,
+        help="--turbo: uniform proposal-pass samples the student trains "
+        "and serves with (default: the teacher's n_samples)",
     )
     parser.add_argument(
         "--max-turbo-psnr-drop", type=float, default=1.0,
