@@ -6,7 +6,7 @@ Primary metric (per BASELINE.json): ms/frame at 640x480 for the fastest
 QUALITY-GATED serving preset present:
 
   - TURBO (when assets/bench/synth_proposal.turbo.npz exists): a narrow
-    student (default 6x192) distilled offline from the trained fixture
+    student (default 4x128@8f) distilled offline from the trained fixture
     (train/distill.py), served proposal-guided importance-only at int8 —
     gated by scripts/validate_quality.py --proposal --fast-preset --turbo.
   - FAST otherwise: the full 8x256 fine net, proposal(2x64) coarse pass,

@@ -13,7 +13,7 @@ scripts/validate_quality.py --turbo.
 
 Usage:
     python -m nerf_workspaces_explorer_tpu.cli.distill --office tokyo \
-        [--ckpt path] [--steps 20000] [--width 192 --depth 6 --freqs 10]
+        [--ckpt path] [--steps 20000] [--width 128 --depth 4 --freqs 8]
 """
 
 from __future__ import annotations
@@ -33,10 +33,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="teacher checkpoint (.npz or torch .ckpt); default: the "
         "office's shipped final model",
     )
+    # Student arch defaults = train.distill.DEFAULT_STUDENT (4x128@8f, the
+    # reports/turbo_arch_probe.md winner on both speed and fidelity).
     parser.add_argument("--steps", type=int, default=20000)
-    parser.add_argument("--depth", type=int, default=6)
-    parser.add_argument("--width", type=int, default=192)
-    parser.add_argument("--freqs", type=int, default=10,
+    parser.add_argument("--depth", type=int, default=4)
+    parser.add_argument("--width", type=int, default=128)
+    parser.add_argument("--freqs", type=int, default=8,
                         help="student positional-encoding frequencies")
     parser.add_argument("--grid", type=int, default=4,
                         help="floor-plan lattice per axis for teacher views")
@@ -45,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="divide the config H/W by this for teacher views")
     parser.add_argument("--n-importance-serving", type=int, default=96,
                         help="importance samples the turbo preset serves with")
+    parser.add_argument("--n-samples", type=int, default=None,
+                        help="uniform proposal-pass samples the student "
+                        "trains AND serves with (default: the teacher "
+                        "config's n_samples)")
     parser.add_argument("--out", type=str, default=None,
                         help="sidecar path (default: <ckpt>.turbo.npz)")
     return parser
@@ -101,7 +107,7 @@ def main(argv=None) -> str:
         teacher_params, teacher_spec, teacher_settings, poses,
         height=h, width=w, near=near, far=far, steps=args.steps,
         depth=args.depth, net_width=args.width, num_freqs_3d=args.freqs,
-        name=f"distill_{args.office}",
+        name=f"distill_{args.office}", n_samples=args.n_samples,
     )
     out = args.out or turbo_sidecar_path(ckpt)
     save_turbo_checkpoint(

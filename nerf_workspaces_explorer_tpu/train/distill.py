@@ -58,11 +58,14 @@ from nerf_workspaces_explorer_tpu.render.pipeline import RenderSettings
 
 TURBO_SUFFIX = ".turbo.npz"
 
-# Default student: 6x192 at the shipped 10-frequency encoding — measured
-# (narrow_net_probe) as the widest-margin quality/speed point: ~0.44x the
-# teacher's per-sample MACs at -0.8 dB from-scratch. 4x128 @ 8 freqs
-# (~0.17x MACs) is the aggressive alternative via --width/--depth/--freqs.
-DEFAULT_STUDENT = {"depth": 6, "width": 192, "num_freqs_3d": 10}
+# Default student: 4x128 at an 8-frequency encoding — the clean arch probe
+# (reports/turbo_arch_probe.md, 2026-08-18) measured it DOMINATING the
+# previous 6x192@10f default on both axes: 171.3 ms vs 212.0 at 640x480
+# int8 AND the best student fidelity of the sweep (30.59 dB mean /
+# 21.63 min vs teacher on held-out views; 4x256@10f 30.54/17.76,
+# 3x256@10f 29.32/22.22). The narrow-net probe showed why freqs must drop
+# with width: 4x128 at 10 freqs memorizes train views (test 15.5 dB).
+DEFAULT_STUDENT = {"depth": 4, "width": 128, "num_freqs_3d": 8}
 
 
 def turbo_sidecar_path(ckpt_path: str) -> str:
@@ -205,6 +208,8 @@ def distill_student(
     log_every: int = 500,
     name: str = "distill",
     teacher_rgb: Optional[np.ndarray] = None,
+    n_samples: Optional[int] = None,
+    n_importance_train: Optional[int] = None,
 ) -> Tuple[Dict[str, Any], FrameworkConfig, Dict[str, Any]]:
     """Distill (teacher_params, spec, settings) into a narrow student.
 
@@ -216,6 +221,14 @@ def distill_student(
     the teacher rendering pass — pass it when distilling several student
     candidates from one teacher so the teacher renders (and their Pallas
     compiles) are paid once.
+
+    `n_samples` / `n_importance_train` override the student's uniform
+    proposal-pass sample count and training importance count (defaults:
+    the teacher's). The proposal coarse pass costs ~33 ms of the 6x192
+    turbo frame's 162 ms device time at 640x480 (profile_turbo_frame.py),
+    so serving fewer uniform samples is a first-class work-reduction
+    lever; the student's proposal net trains at this count so serving
+    matches the training distribution.
     """
     from nerf_workspaces_explorer_tpu.train.loop import Trainer
 
@@ -244,8 +257,14 @@ def distill_student(
     cfg = student_config(
         height, width, near=near, far=far,
         depth=depth, net_width=net_width, num_freqs_3d=num_freqs_3d,
-        n_samples=teacher_settings.n_samples,
-        n_importance=teacher_settings.n_importance,
+        n_samples=(
+            n_samples if n_samples is not None else teacher_settings.n_samples
+        ),
+        n_importance=(
+            n_importance_train
+            if n_importance_train is not None
+            else teacher_settings.n_importance
+        ),
     )
     kwargs: Dict[str, Any] = {}
     if field_impl is not None:

@@ -8,7 +8,7 @@ small checkpoints on the synthetic scene and saves them as repo fixtures:
   assets/bench/synth_proposal.npz  — proposal(2x64) + fine(8x256), the
                                      serving configuration bench.py times;
   assets/bench/synth_hier.npz      — coarse+fine 8x256 (reference placement);
-  assets/bench/synth_proposal.turbo.npz — narrow student (default 6x192)
+  assets/bench/synth_proposal.turbo.npz — narrow student (default 4x128@8f)
                                      distilled from the proposal fixture
                                      (train/distill.py), the turbo preset
                                      bench.py times when present.
@@ -88,7 +88,7 @@ def train_one(name, use_proposal, steps, out_dir):
     print(f"[{name}] saved {path} ({size_mb:.1f} MB)")
 
 
-def distill_turbo(steps, out_dir, *, depth=6, width=192, freqs=10,
+def distill_turbo(steps, out_dir, *, depth=4, width=128, freqs=8,
                   n_importance_serving=96, n_samples=None):
     """Distill the proposal teacher fixture into the turbo sidecar
     bench.py times (NeRFRenderer preset='turbo')."""
@@ -150,9 +150,9 @@ def main():
     )
     parser.add_argument("--turbo-steps", type=int, default=None,
                         help="distillation steps (default: --steps)")
-    parser.add_argument("--turbo-depth", type=int, default=6)
-    parser.add_argument("--turbo-width", type=int, default=192)
-    parser.add_argument("--turbo-freqs", type=int, default=10)
+    parser.add_argument("--turbo-depth", type=int, default=4)
+    parser.add_argument("--turbo-width", type=int, default=128)
+    parser.add_argument("--turbo-freqs", type=int, default=8)
     parser.add_argument("--turbo-n-samples", type=int, default=None,
                         help="uniform proposal-pass samples the student "
                         "trains and serves with")

@@ -55,6 +55,16 @@ def main() -> None:
         "--specs", type=str,
         default="8x256@10,6x192@10,4x256@10,4x128@10,4x128@8",
     )
+    ap.add_argument(
+        "--ray-tile", type=int, default=None,
+        help="override the kernel ray tile (default 4096); narrow nets "
+        "leave VMEM headroom for larger tiles",
+    )
+    ap.add_argument(
+        "--sps", type=int, default=None,
+        help="override samples_per_step (default 8); narrow nets raise "
+        "the per-step fixed-cost share",
+    )
     args = ap.parse_args()
 
     h, w = args.height, args.width
@@ -82,18 +92,29 @@ def main() -> None:
         kp = prepare_kernel_params(params, spec, quant=quant)
         o_ph, d_ph = ray_phase_vectors(origins, dirs, kp.pts_freqs)
 
+        kw = {}
+        if args.ray_tile is not None:
+            kw["ray_tile"] = args.ray_tile
+        if args.sps is not None:
+            kw["samples_per_step"] = args.sps
+
         def fine(eps):
             def run(z_):
                 maps = nerf_render_pallas(
                     kp, o_ph, d_ph, z_, _dists_from_z(z_, dir_norm), venc,
-                    early_stop_eps=eps,
+                    early_stop_eps=eps, **kw,
                 )
                 return maps.sum()
 
             return jax.jit(run)
 
-        timed(f"{tok} int8 {args.samples}s eps=0", fine(0.0), z)
-        timed(f"{tok} int8 {args.samples}s eps=1e-3", fine(1e-3), z)
+        tag = ""
+        if args.ray_tile is not None:
+            tag += f" tile={args.ray_tile}"
+        if args.sps is not None:
+            tag += f" sps={args.sps}"
+        timed(f"{tok} int8 {args.samples}s{tag} eps=0", fine(0.0), z)
+        timed(f"{tok} int8 {args.samples}s{tag} eps=1e-3", fine(1e-3), z)
 
 
 if __name__ == "__main__":

@@ -282,9 +282,9 @@ def main() -> None:
              "(train/distill.py; served by NeRFRenderer preset='turbo')",
     )
     parser.add_argument("--turbo-steps", type=int, default=3000)
-    parser.add_argument("--turbo-depth", type=int, default=6)
-    parser.add_argument("--turbo-width", type=int, default=192)
-    parser.add_argument("--turbo-freqs", type=int, default=10)
+    parser.add_argument("--turbo-depth", type=int, default=4)
+    parser.add_argument("--turbo-width", type=int, default=128)
+    parser.add_argument("--turbo-freqs", type=int, default=8)
     parser.add_argument(
         "--turbo-n-importance", type=int, default=96,
         help="--turbo: importance samples the student serves with",

@@ -142,6 +142,47 @@ def test_distill_and_turbo_roundtrip(tiny_teacher, tmp_path):
     assert np.isfinite(img.astype(np.float64)).all()
 
 
+def test_distill_sample_count_overrides(tiny_teacher, tmp_path):
+    """n_samples/n_importance_train override the student's sample counts
+    (the proposal coarse pass is ~20% of the turbo frame's device time —
+    profile_turbo_frame.py), land in the sidecar metadata, and flow into
+    the turbo renderer's serving settings."""
+    trainer, cfg, poses = tiny_teacher
+    student_params, student_cfg, report = distill_student(
+        trainer.params, trainer._spec, trainer._settings, poses,
+        height=H, width=W, near=0.1, far=6.0, steps=30,
+        depth=2, net_width=32, num_freqs_3d=5, n_holdout=1,
+        use_pallas=False, log_every=0, name="distill_ns",
+        n_samples=8, n_importance_train=12,
+    )
+    assert student_cfg.rendering.n_samples == 8
+    assert student_cfg.rendering.n_importance == 12
+    assert np.isfinite(report["psnr_vs_teacher"])
+
+    teacher_ckpt = str(tmp_path / "model.npz")
+    sidecar = turbo_sidecar_path(teacher_ckpt)
+    save_turbo_checkpoint(
+        sidecar, student_params, student_cfg,
+        n_importance_serving=12, report=report, teacher=teacher_ckpt,
+    )
+    meta = read_turbo_metadata(sidecar)
+    assert meta["student"]["n_samples"] == 8
+
+    from nerf_workspaces_explorer_tpu.infer.renderer import NeRFRenderer
+
+    render_cfg = FrameworkConfig(
+        experiment=ExperimentConfig(image_width=W, image_height=H),
+        rendering=RenderingConfig(depth_range=(0.1, 6.0)),
+        logging=_silent_logging(),
+    )
+    r = NeRFRenderer(
+        "tokyo", teacher_ckpt, config=render_cfg, precision="parity",
+        use_pallas=False, preset="turbo",
+    )
+    assert r._settings.n_samples == 8
+    assert r._settings.n_importance == 12
+
+
 def test_distill_accepts_precomputed_teacher_views(tiny_teacher):
     """distill_student(teacher_rgb=...) must skip the teacher render pass
     (candidate-architecture sweeps pay it once) and validate its shape."""
