@@ -56,14 +56,18 @@ def main() -> None:
         default="8x256@10,6x192@10,4x256@10,4x128@10,4x128@8",
     )
     ap.add_argument(
-        "--ray-tile", type=int, default=None,
-        help="override the kernel ray tile (default 4096); narrow nets "
-        "leave VMEM headroom for larger tiles",
+        "--ray-tile", type=str, default=None,
+        help="comma list of kernel ray tiles to sweep (default 4096); "
+        "narrow nets leave VMEM headroom for larger tiles",
     )
     ap.add_argument(
-        "--sps", type=int, default=None,
-        help="override samples_per_step (default 8); narrow nets raise "
-        "the per-step fixed-cost share",
+        "--sps", type=str, default=None,
+        help="comma list of samples_per_step values to sweep (default 8); "
+        "narrow nets raise the per-step fixed-cost share",
+    )
+    ap.add_argument(
+        "--eps", type=str, default="0,1e-3",
+        help="comma list of early-stop eps values to time",
     )
     args = ap.parse_args()
 
@@ -92,13 +96,16 @@ def main() -> None:
         kp = prepare_kernel_params(params, spec, quant=quant)
         o_ph, d_ph = ray_phase_vectors(origins, dirs, kp.pts_freqs)
 
-        kw = {}
-        if args.ray_tile is not None:
-            kw["ray_tile"] = args.ray_tile
-        if args.sps is not None:
-            kw["samples_per_step"] = args.sps
+        tiles = (
+            [int(v) for v in args.ray_tile.split(",")]
+            if args.ray_tile else [None]
+        )
+        spss = (
+            [int(v) for v in args.sps.split(",")] if args.sps else [None]
+        )
+        eps_list = [float(v) for v in args.eps.split(",")]
 
-        def fine(eps):
+        def fine(eps, kw):
             def run(z_):
                 maps = nerf_render_pallas(
                     kp, o_ph, d_ph, z_, _dists_from_z(z_, dir_norm), venc,
@@ -108,13 +115,20 @@ def main() -> None:
 
             return jax.jit(run)
 
-        tag = ""
-        if args.ray_tile is not None:
-            tag += f" tile={args.ray_tile}"
-        if args.sps is not None:
-            tag += f" sps={args.sps}"
-        timed(f"{tok} int8 {args.samples}s{tag} eps=0", fine(0.0), z)
-        timed(f"{tok} int8 {args.samples}s{tag} eps=1e-3", fine(1e-3), z)
+        for tile in tiles:
+            for sps in spss:
+                kw, tag = {}, ""
+                if tile is not None:
+                    kw["ray_tile"] = tile
+                    tag += f" tile={tile}"
+                if sps is not None:
+                    kw["samples_per_step"] = sps
+                    tag += f" sps={sps}"
+                for eps in eps_list:
+                    timed(
+                        f"{tok} int8 {args.samples}s{tag} eps={eps:g}",
+                        fine(eps, kw), z,
+                    )
 
 
 if __name__ == "__main__":
