@@ -45,7 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--yaw-step", type=float, default=45.0)
     parser.add_argument("--view-scale", type=int, default=1,
                         help="divide the config H/W by this for teacher views")
-    parser.add_argument("--n-importance-serving", type=int, default=96,
+    # 64 serving importance samples: 20k-step gate passes at -0.45 dB vs
+    # the teacher's merged render (reports/quality_gate_turbo4x128_20k.md)
+    # and the 96 -> 64 step cuts the 640x480 int8 frame ~197 -> ~137 ms
+    # (reports/turbo_sample_probe.md).
+    parser.add_argument("--n-importance-serving", type=int, default=64,
                         help="importance samples the turbo preset serves with")
     parser.add_argument("--n-samples", type=int, default=None,
                         help="uniform proposal-pass samples the student "

@@ -775,12 +775,15 @@ def nerf_render_pallas(
         # nets (coarse pass 168->154 ms, fine pass 635->540 ms at 640x480)
         # and still compile in ~20 s; fall back to 4 or 1 when the sample
         # count doesn't divide. Narrow trunks (width <= 128, the turbo
-        # students) have a higher per-step fixed-cost share and prefer 16
-        # (4x128@8f fine pass 94.4 -> 84.9 ms at 640x480x96s, tile 4096 —
-        # scripts/profile_width_sweep.py 2026-08-18; 16 measured WORSE for
-        # 8x256: 320 vs 310 ms).
+        # students) have a higher per-step fixed-cost share and prefer the
+        # largest group that divides (4x128@8f fine pass at 640x480, tile
+        # 4096: 96s 89.5 -> 84.6 -> 82.1 ms and 64s 58.5 -> 56.4 ms for
+        # sps 8 -> 16 -> 32 — scripts/profile_width_sweep.py 2026-08-18;
+        # 16 measured WORSE for 8x256: 320 vs 310 ms).
         trunk_width = kparams.w_layers[0].shape[0]
-        preferred = (16, 8, 4, 2, 1) if trunk_width <= 128 else (8, 4, 2, 1)
+        preferred = (
+            (32, 16, 8, 4, 2, 1) if trunk_width <= 128 else (8, 4, 2, 1)
+        )
         samples_per_step = next(
             (k for k in preferred if n_samples % k == 0)
         )

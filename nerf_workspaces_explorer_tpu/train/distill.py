@@ -361,7 +361,7 @@ def save_turbo_checkpoint(
     student_params: Dict[str, Any],
     student_cfg: FrameworkConfig,
     *,
-    n_importance_serving: int = 96,
+    n_importance_serving: int = 64,
     report: Optional[Dict[str, Any]] = None,
     teacher: str = "",
     step: int = 0,

@@ -69,6 +69,12 @@ def main() -> None:
         "--eps", type=str, default="0,1e-3",
         help="comma list of early-stop eps values to time",
     )
+    ap.add_argument(
+        "--bf16", action="store_true",
+        help="also time the unquantized bf16 kernel: narrow trunks are "
+        "VPU/requant-bound, not MXU-bound, so bf16 (no requant chain) "
+        "may approach int8 speed while removing its quality cost",
+    )
     args = ap.parse_args()
 
     h, w = args.height, args.width
@@ -93,8 +99,12 @@ def main() -> None:
         params = init_nerf_params(jax.random.PRNGKey(0), spec)
         params["alpha"]["b"] = params["alpha"]["b"] + 2.0
         quant = calibrate_trunk(params, spec)
-        kp = prepare_kernel_params(params, spec, quant=quant)
-        o_ph, d_ph = ray_phase_vectors(origins, dirs, kp.pts_freqs)
+        kps = {"int8": prepare_kernel_params(params, spec, quant=quant)}
+        if args.bf16:
+            kps["bf16"] = prepare_kernel_params(params, spec, quant=None)
+        o_ph, d_ph = ray_phase_vectors(
+            origins, dirs, kps["int8"].pts_freqs
+        )
 
         tiles = (
             [int(v) for v in args.ray_tile.split(",")]
@@ -105,7 +115,7 @@ def main() -> None:
         )
         eps_list = [float(v) for v in args.eps.split(",")]
 
-        def fine(eps, kw):
+        def fine(kp, eps, kw):
             def run(z_):
                 maps = nerf_render_pallas(
                     kp, o_ph, d_ph, z_, _dists_from_z(z_, dir_norm), venc,
@@ -124,11 +134,12 @@ def main() -> None:
                 if sps is not None:
                     kw["samples_per_step"] = sps
                     tag += f" sps={sps}"
-                for eps in eps_list:
-                    timed(
-                        f"{tok} int8 {args.samples}s{tag} eps={eps:g}",
-                        fine(eps, kw), z,
-                    )
+                for prec, kp in kps.items():
+                    for eps in eps_list:
+                        timed(
+                            f"{tok} {prec} {args.samples}s{tag} eps={eps:g}",
+                            fine(kp, eps, kw), z,
+                        )
 
 
 if __name__ == "__main__":

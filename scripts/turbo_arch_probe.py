@@ -68,7 +68,7 @@ def main():
         "with (default: teacher's 64)",
     )
     parser.add_argument(
-        "--n-importance", type=int, default=96,
+        "--n-importance", type=int, default=64,
         help="importance samples the student serves with",
     )
     parser.add_argument(
