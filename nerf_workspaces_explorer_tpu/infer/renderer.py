@@ -131,6 +131,10 @@ def _render_c2w_batch_impl(
                 params, rays, settings, spec=spec,
                 quant=quant, early_stop_eps=early_stop_eps,
                 sort_rays=sort_rays, full=full_outputs,
+                # The flat ray axis is n frames of h rows stacked row-major:
+                # an (n*h, w) grid (proposal_subsample blocks never straddle
+                # frames when h divides by the stride).
+                grid_hw=(n * h, w),
             )
             if full_outputs:
                 out = {
@@ -186,6 +190,7 @@ class NeRFRenderer:
         sort_rays: bool = False,
         preset: str = "reference",
         n_importance: Optional[int] = None,
+        proposal_subsample: Optional[int] = None,
     ) -> None:
         self._office_name = office_name
         self._nan_debug = nan_debug
@@ -266,6 +271,23 @@ class NeRFRenderer:
             )
         if n_importance is not None:
             self._settings = self._settings._replace(n_importance=n_importance)
+        if proposal_subsample is not None:
+            # Coarse-pass ray-lattice stride (RenderSettings docs): the
+            # density/importance stage runs on every s-th ray per image
+            # axis; the fine pass shares each s x s block's depth
+            # placement. Implemented in the fused kernel path only.
+            if int(proposal_subsample) > 1 and not use_pallas:
+                import warnings
+
+                warnings.warn(
+                    "proposal_subsample > 1 only affects the fused Pallas "
+                    "path (use_pallas=True); the jnp pipeline renders with "
+                    "exact per-ray placement",
+                    stacklevel=2,
+                )
+            self._settings = self._settings._replace(
+                proposal_subsample=int(proposal_subsample)
+            )
         self._params: Optional[Dict[str, Any]] = None
         self._render_jit = None
         self._render_uint8_jit = None

@@ -946,6 +946,7 @@ def render_rays_fused(
     early_stop_eps: float = 1e-4,
     quant: Optional[Dict[str, Any]] = None,
     sort_rays: bool = False,
+    grid_hw: Optional[tuple] = None,
 ):
     """Coarse+fine inference through the fused kernel.
 
@@ -957,6 +958,15 @@ def render_rays_fused(
 
     quant: optional {'coarse': TrunkQuant, 'fine': TrunkQuant} static
     calibration (ops/quantize.py) enabling the int8 trunk serving mode.
+
+    grid_hw: optional (rows, cols) shape of the flat ray axis (rows * cols
+    == len(rays); a batch of n frames passes (n * H, W)). Only used by
+    `settings.proposal_subsample` > 1: the coarse/proposal density pass and
+    the importance sampler then run on the subsampled ray lattice
+    [::s, ::s] and every ray of an s x s block shares its corner's fine
+    depths (the fine pass itself still evaluates every true ray). Ignored —
+    exact per-ray placement — when grid_hw is None or either axis does not
+    divide by s.
 
     Returns rgb [R, 3] (or FusedRenderOutputs when full=True).
     """
@@ -981,23 +991,55 @@ def render_rays_fused(
     viewdirs = rays.viewdirs.astype(jnp.float32)
     near = rays.near.astype(jnp.float32)
     far = rays.far.astype(jnp.float32)
+    n_rays_full = origins.shape[0]
 
-    o_ph_c, d_ph_c = ray_phase_vectors(origins, dirs, kp_coarse.pts_freqs)
-    if kp_fine.pts_freqs == kp_coarse.pts_freqs:
+    # Coarse-pass ray lattice: exact (every ray) or the proposal_subsample
+    # stride over the image grid (see docstring). The coarse pass exists
+    # only to PLACE the fine samples; placement varies smoothly across
+    # neighboring rays, so an s-strided lattice shared per s x s block
+    # costs ~s^2 less for a near-invisible placement change (gated:
+    # scripts/validate_quality.py --prop-subsample).
+    sub = int(getattr(eval_settings, "proposal_subsample", 1) or 1)
+    sub_grid = None
+    if sub > 1 and grid_hw is not None:
+        gh, gw = int(grid_hw[0]), int(grid_hw[1])
+        if gh * gw == n_rays_full and gh % sub == 0 and gw % sub == 0:
+            sub_grid = (gh, gw)
+
+    if sub_grid is not None:
+        gh, gw = sub_grid
+
+        def lattice(x: jnp.ndarray) -> jnp.ndarray:
+            # [R, ...] -> [R/s^2, ...], the block-corner rays of the grid.
+            return x.reshape(gh, gw, *x.shape[1:])[::sub, ::sub].reshape(
+                (gh // sub) * (gw // sub), *x.shape[1:]
+            )
+
+        origins_c, dirs_c = lattice(origins), lattice(dirs)
+        near_c, far_c = lattice(near), lattice(far)
+    else:
+        origins_c, dirs_c, near_c, far_c = origins, dirs, near, far
+
+    o_ph_c, d_ph_c = ray_phase_vectors(origins_c, dirs_c, kp_coarse.pts_freqs)
+    if kp_fine.pts_freqs == kp_coarse.pts_freqs and sub_grid is None:
         o_ph_f, d_ph_f = o_ph_c, d_ph_c
     else:
         o_ph_f, d_ph_f = ray_phase_vectors(origins, dirs, kp_fine.pts_freqs)
     venc = encode_viewdirs_kernel_order(viewdirs, num_freqs=kp_fine.view_freqs)
     dir_norm = jnp.linalg.norm(dirs, axis=-1)[None, :]  # [1, R]
+    dir_norm_c = (
+        jnp.linalg.norm(dirs_c, axis=-1)[None, :] if sub_grid is not None
+        else dir_norm
+    )
 
     # Coarse: density-only -> per-sample weights.
-    z_coarse = coarse_z_vals(near, far, eval_settings.n_samples).T  # [S, R]
+    z_coarse = coarse_z_vals(near_c, far_c, eval_settings.n_samples).T  # [S, R]
     weights_t = nerf_render_pallas(
         kp_coarse,
         o_ph_c,
         d_ph_c,
         z_coarse,
-        _dists_from_z(z_coarse, dir_norm),
+        _dists_from_z(z_coarse, dir_norm_c),
         density_only=True,
         ray_tile=ray_tile,
         early_stop_eps=early_stop_eps,
@@ -1043,6 +1085,16 @@ def render_rays_fused(
             # Deterministic inverse-CDF samples are already ascending.
             z_fine = z_samples.T
 
+    if sub_grid is not None:
+        # Broadcast the lattice placement to every ray of its s x s block:
+        # [S_f, R/s^2] -> [S_f, R]. Depths stay inside [near, far] (shared
+        # across rays), so the fine pass below is exact for the true rays.
+        gh, gw = sub_grid
+        s_f = z_fine.shape[0]
+        z_fine = z_fine.reshape(s_f, gh // sub, gw // sub)
+        z_fine = jnp.repeat(jnp.repeat(z_fine, sub, axis=1), sub, axis=2)
+        z_fine = z_fine.reshape(s_f, n_rays_full)
+
     inv_perm = None
     if sort_rays and early_stop_eps > 0.0:
         # Saturation-ordered fine pass: early termination is tile-granular
@@ -1052,10 +1104,17 @@ def render_rays_fused(
         # pass is per-ray independent, so permuting is exact; outputs are
         # unsorted by the inverse permutation. Cost: one [rows, R] column
         # gather per kernel operand (HBM-bandwidth, ~ms at frame scale).
-        csum = jnp.cumsum(weights, axis=-1)  # [R, S]
+        csum = jnp.cumsum(weights, axis=-1)  # [R(, /s^2), S]
         sat = jnp.argmax(csum > 1.0 - early_stop_eps, axis=-1)
         never = csum[:, -1] <= 1.0 - early_stop_eps
         key = jnp.where(never, weights.shape[-1], sat)
+        if sub_grid is not None:
+            # The saturation key came from the lattice pass: spread it to
+            # the full grid so the sort covers every ray.
+            gh, gw = sub_grid
+            key = key.reshape(gh // sub, gw // sub)
+            key = jnp.repeat(jnp.repeat(key, sub, axis=0), sub, axis=1)
+            key = key.reshape(n_rays_full)
         perm = jnp.argsort(key)
         inv_perm = jnp.argsort(perm)
         z_fine = z_fine[:, perm]

@@ -41,6 +41,7 @@ def shard_render(
     quant: Optional[Dict[str, Any]] = None,
     early_stop_eps: float = 1e-3,
     sort_rays: bool = False,
+    grid_hw: Optional[tuple] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render a flat RayBundle with rays sharded across the mesh.
 
@@ -56,6 +57,13 @@ def shard_render(
       early_stop_eps, sort_rays: fused-kernel early-termination settings —
         forwarded so mesh-sharded frames match single-chip NeRFRenderer
         frames (which default eps to 1e-3) bit-for-bit and in cost.
+      grid_hw: optional (rows, cols) image-grid shape of the flat ray axis,
+        enabling `settings.proposal_subsample` on the fused path. Each
+        shard is a contiguous row block, so the per-shard grid is
+        (rows/n_devices, cols); when rows don't divide by n_devices (or
+        rows-per-shard by the stride) the shards fall back to exact
+        placement. With an even row split the subsampled lattice matches
+        the single-chip one exactly (blocks never straddle shards).
     Returns:
       Output dict with leading dim N (same contract as render_rays_chunked).
     """
@@ -65,6 +73,11 @@ def shard_render(
     n = rays.origins.shape[0]
     shard = -(-n // n_devices)
     padded = shard * n_devices
+    shard_grid = None
+    if grid_hw is not None and padded == n:
+        rows, cols = int(grid_hw[0]), int(grid_hw[1])
+        if rows * cols == n and rows % n_devices == 0:
+            shard_grid = (rows // n_devices, cols)
 
     def pad(x: jnp.ndarray) -> jnp.ndarray:
         return jnp.pad(x, ((0, padded - n), (0, 0)), mode="edge")
@@ -82,7 +95,7 @@ def shard_render(
                 params, local_rays, settings, spec=spec,
                 ray_tile=ray_tile, interpret=interpret, full=True,
                 quant=quant, early_stop_eps=early_stop_eps,
-                sort_rays=sort_rays,
+                sort_rays=sort_rays, grid_hw=shard_grid,
             )
             return {"rgb_fine": out.rgb, "depth_fine": out.depth[:, None],
                     "acc_fine": out.acc[:, None],

@@ -70,6 +70,18 @@ class RenderSettings(NamedTuple):
     # the standard proposal-sampling placement (mip-NeRF 360); quality-
     # gated by scripts/validate_quality.py --fast-preset.
     merge_coarse: bool = True
+    # Coarse/proposal-pass ray subsampling (extension — fused serving path
+    # only): run the density pass and importance sampling on every
+    # `proposal_subsample`-th ray in each image axis and give all rays of an
+    # s x s pixel block the block corner's fine-sample depths. Depth
+    # PLACEMENT needs far less angular resolution than radiance — the fine
+    # pass still evaluates every true ray, only where it places its samples
+    # is shared. 1 (default) = exact per-ray placement; 2 cuts the
+    # coarse+importance stage cost ~4x. Takes effect only when the fused
+    # renderer knows the ray grid (`render_rays_fused(grid_hw=...)`) and the
+    # grid divides; otherwise ignored. Quality-gated by
+    # scripts/validate_quality.py --prop-subsample.
+    proposal_subsample: int = 1
 
     @property
     def deterministic_importance(self) -> bool:

@@ -333,9 +333,9 @@ def render_student_views(
             rays = create_rays(
                 c2w[None], height, width, fx, fx, cx, cy, near, far
             ).reshape(height * width)
-            return render_rays_fused(p, rays, settings, spec=spec).reshape(
-                height, width, 3
-            )
+            return render_rays_fused(
+                p, rays, settings, spec=spec, grid_hw=(height, width)
+            ).reshape(height, width, 3)
 
     else:
         from nerf_workspaces_explorer_tpu.render.pipeline import (

@@ -130,27 +130,39 @@ def run_leg(name, use_proposal, train, test, cfg, args):
     if args.fast_preset:
         for n_imp in args.fast_n_importance:
             fs = eval_settings._replace(merge_coarse=False, n_importance=n_imp)
-            f_psnrs, f_ssims = [], []
-            for i in range(len(test)):
-                view_rays = RayBundle(*(f[i] for f in trainer.rays_test))
-                rgb_fast = np.asarray(
-                    render_rays_fused(
-                        trainer.params, view_rays, fs, spec=trainer._spec,
-                        quant=quant,
-                    )
-                ).reshape(h, w, 3)
-                mse = float(np.mean((rgb_fast - test.rgb[i]) ** 2))
-                f_psnrs.append(-10 * np.log10(mse))
-                f_ssims.append(ssim(rgb_fast, test.rgb[i]))
-            fast[n_imp] = {
-                "psnr": float(np.mean(f_psnrs)),
-                "ssim": float(np.mean(f_ssims)),
-            }
-            print(
-                f"[{name}] FAST preset (importance-only, int8, "
-                f"n_importance={n_imp}): PSNR {fast[n_imp]['psnr']:.2f} dB "
-                f"(merged {psnr:.2f}), SSIM {fast[n_imp]['ssim']:.4f}"
-            )
+            variants = [("", fs)]
+            if args.prop_subsample > 1:
+                # Same serving config with the coarse/importance stage on
+                # the strided ray lattice (RenderSettings.proposal_subsample).
+                variants.append(
+                    ("_sub", fs._replace(proposal_subsample=args.prop_subsample))
+                )
+            fast[n_imp] = {}
+            for suffix, vs in variants:
+                f_psnrs, f_ssims = [], []
+                for i in range(len(test)):
+                    view_rays = RayBundle(*(f[i] for f in trainer.rays_test))
+                    rgb_fast = np.asarray(
+                        render_rays_fused(
+                            trainer.params, view_rays, vs, spec=trainer._spec,
+                            quant=quant, grid_hw=(h, w),
+                        )
+                    ).reshape(h, w, 3)
+                    mse = float(np.mean((rgb_fast - test.rgb[i]) ** 2))
+                    f_psnrs.append(-10 * np.log10(mse))
+                    f_ssims.append(ssim(rgb_fast, test.rgb[i]))
+                fast[n_imp]["psnr" + suffix] = float(np.mean(f_psnrs))
+                fast[n_imp]["ssim" + suffix] = float(np.mean(f_ssims))
+                tag = (
+                    f", prop_subsample={args.prop_subsample}" if suffix else ""
+                )
+                print(
+                    f"[{name}] FAST preset (importance-only, int8, "
+                    f"n_importance={n_imp}{tag}): PSNR "
+                    f"{fast[n_imp]['psnr' + suffix]:.2f} dB "
+                    f"(merged {psnr:.2f}), SSIM "
+                    f"{fast[n_imp]['ssim' + suffix]:.4f}"
+                )
     return {
         "psnr": psnr,
         "ssim": float(np.mean(ssims)),
@@ -236,6 +248,24 @@ def run_turbo_leg(leg, leg_name, train, test, args):
         f"n_importance={args.turbo_n_importance}): PSNR {out['psnr']:.2f} dB "
         f"(teacher merged {leg['psnr']:.2f}), SSIM {out['ssim']:.4f}"
     )
+    if args.prop_subsample > 1:
+        rgb_sub = render_student_views(
+            student_params, spec,
+            settings._replace(proposal_subsample=args.prop_subsample),
+            test.camera_pose, h, w, near=0.1, far=6.0,
+        )
+        out["psnr_sub"] = float(np.mean([
+            -10 * np.log10(float(np.mean((rgb_sub[i] - test.rgb[i]) ** 2)))
+            for i in range(len(test))
+        ]))
+        out["ssim_sub"] = float(np.mean(
+            [ssim(rgb_sub[i], test.rgb[i]) for i in range(len(test))]
+        ))
+        print(
+            f"[turbo] TEST vs ground truth (serving config, prop_subsample="
+            f"{args.prop_subsample}): PSNR {out['psnr_sub']:.2f} dB "
+            f"(exact placement {out['psnr']:.2f}), SSIM {out['ssim_sub']:.4f}"
+        )
     return out
 
 
@@ -293,6 +323,16 @@ def main() -> None:
         "--turbo-n-samples", type=int, default=None,
         help="--turbo: uniform proposal-pass samples the student trains "
         "and serves with (default: the teacher's n_samples)",
+    )
+    parser.add_argument(
+        "--prop-subsample", type=int, default=0,
+        help="also measure + gate proposal_subsample=N (coarse/importance "
+             "stage on every Nth ray per axis; fast-preset and turbo legs)",
+    )
+    parser.add_argument(
+        "--max-subsample-psnr-drop", type=float, default=0.3,
+        help="--prop-subsample: fail if the subsampled placement loses more "
+             "test PSNR than this vs the same config's exact placement (dB)",
     )
     parser.add_argument(
         "--max-turbo-psnr-drop", type=float, default=1.0,
@@ -385,6 +425,21 @@ def main() -> None:
                 f"fast preset (n_importance={gate_n}) loses {drop:.2f} dB "
                 f"> allowed {args.max_fast_psnr_drop} vs merged placement"
             )
+        if args.prop_subsample > 1:
+            sub_drop = (
+                leg["fast"][gate_n]["psnr"] - leg["fast"][gate_n]["psnr_sub"]
+            )
+            print(
+                f"prop-subsample gate [{leg_name}, fast n_importance="
+                f"{gate_n}, s={args.prop_subsample}]: PSNR drop "
+                f"{sub_drop:+.2f} dB (allowed {args.max_subsample_psnr_drop})"
+            )
+            if sub_drop > args.max_subsample_psnr_drop:
+                failures.append(
+                    f"prop_subsample={args.prop_subsample} loses "
+                    f"{sub_drop:.2f} dB > allowed "
+                    f"{args.max_subsample_psnr_drop} vs exact placement"
+                )
     if turbo is not None:
         teacher = prop if prop is not None else hier
         drop = teacher["psnr"] - turbo["psnr"]
@@ -399,6 +454,19 @@ def main() -> None:
                 f"turbo student loses {drop:.2f} dB > allowed "
                 f"{args.max_turbo_psnr_drop} vs its teacher's merged render"
             )
+        if args.prop_subsample > 1 and "psnr_sub" in turbo:
+            sub_drop = turbo["psnr"] - turbo["psnr_sub"]
+            print(
+                f"prop-subsample gate [turbo, s={args.prop_subsample}]: "
+                f"PSNR drop {sub_drop:+.2f} dB "
+                f"(allowed {args.max_subsample_psnr_drop})"
+            )
+            if sub_drop > args.max_subsample_psnr_drop:
+                failures.append(
+                    f"turbo prop_subsample={args.prop_subsample} loses "
+                    f"{sub_drop:.2f} dB > allowed "
+                    f"{args.max_subsample_psnr_drop} vs exact placement"
+                )
     if args.report:
         os.makedirs(os.path.dirname(os.path.abspath(args.report)), exist_ok=True)
         with open(args.report, "w") as f:
@@ -409,6 +477,10 @@ def main() -> None:
                 + (" --proposal" if args.proposal else "")
                 + (" --fast-preset" if args.fast_preset else "")
                 + (" --turbo" if args.turbo else "")
+                + (
+                    f" --prop-subsample {args.prop_subsample}"
+                    if args.prop_subsample > 1 else ""
+                )
                 + f"`. Scene: {args.height}x{args.width} synthetic, 12 train"
                 " / 3 test views; shipped office model config. Test renders"
                 " use the fused Pallas kernel (the serving path).\n\n"
@@ -429,6 +501,13 @@ def main() -> None:
                         f"n_importance={n_imp} | {row['psnr']:.2f} "
                         f"| {row['ssim']:.4f} | — | — |\n"
                     )
+                    if "psnr_sub" in row:
+                        f.write(
+                            f"| {leg_name} | fast preset, int8, "
+                            f"n_importance={n_imp}, prop_subsample="
+                            f"{args.prop_subsample} | {row['psnr_sub']:.2f} "
+                            f"| {row['ssim_sub']:.4f} | — | — |\n"
+                        )
             if turbo is not None:
                 f.write(
                     f"| turbo | distilled {args.turbo_depth}x"
@@ -436,6 +515,12 @@ def main() -> None:
                     f"n_importance={args.turbo_n_importance} "
                     f"| {turbo['psnr']:.2f} | {turbo['ssim']:.4f} | — | — |\n"
                 )
+                if "psnr_sub" in turbo:
+                    f.write(
+                        f"| turbo | same student, prop_subsample="
+                        f"{args.prop_subsample} | {turbo['psnr_sub']:.2f} "
+                        f"| {turbo['ssim_sub']:.4f} | — | — |\n"
+                    )
             f.write(
                 "\nResult: "
                 + ("**QUALITY GATE FAILED**: " + "; ".join(failures)

@@ -559,3 +559,95 @@ def test_fused_render_narrow_spec_matches_jnp():
         params, rays, settings.for_eval(), spec=spec, full_outputs=False
     )
     np.testing.assert_allclose(fused, np.asarray(ref["rgb_fine"]), atol=5e-3)
+
+
+def test_proposal_subsample_corner_rays_exact():
+    """proposal_subsample=2: block-corner rays keep EXACT per-ray placement
+    (their lattice ray is themselves), other rays stay close on smooth
+    content, and an unknown/indivisible grid falls back to exact placement.
+    """
+    from nerf_workspaces_explorer_tpu.render.proposal import proposal_spec
+
+    spec = NerfMLPSpec(depth=2, width=128, input_ch=51)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    params = {
+        "proposal": init_nerf_params(k1, proposal_spec(6)),
+        "fine": init_nerf_params(k2, spec),
+    }
+    for net in params.values():
+        net["alpha"]["b"] = net["alpha"]["b"] + 2.0
+    # 16x32 = 512 rays: both the full grid and the 128-ray stride-2 lattice
+    # divide by the importance kernel's 128-lane tile, so the exact and
+    # subsampled runs use the SAME sampler (CDF tie-breaking differs
+    # between the fused sampler and the XLA fallback).
+    h, w = 16, 32
+    rays = create_rays(
+        jnp.eye(4)[None], h, w, 16.0, 16.0, 15.5, 7.5, 0.1, 6.0
+    ).reshape(h * w)
+    settings = RenderSettings(
+        n_samples=8, n_importance=8, num_freqs_3d=8,
+        use_proposal=True, merge_coarse=False,
+    )
+    kw = dict(spec=spec, interpret=True, early_stop_eps=0.0, ray_tile=128)
+    exact = np.asarray(
+        render_rays_fused(params, rays, settings, grid_hw=(h, w), **kw)
+    ).reshape(h, w, 3)
+    sub = np.asarray(
+        render_rays_fused(
+            params, rays, settings._replace(proposal_subsample=2),
+            grid_hw=(h, w), **kw,
+        )
+    ).reshape(h, w, 3)
+    # Corner rays of each 2x2 block are their own placement lattice ray.
+    np.testing.assert_allclose(sub[::2, ::2], exact[::2, ::2], atol=1e-6)
+    assert np.isfinite(sub).all()
+    # Off-corner rays share a neighbor's depth placement: close, not equal.
+    assert np.abs(sub - exact).max() < 0.05
+    # No grid shape -> the stride is ignored (exact placement).
+    fallback = np.asarray(
+        render_rays_fused(
+            params, rays, settings._replace(proposal_subsample=2),
+            grid_hw=None, **kw,
+        )
+    ).reshape(h, w, 3)
+    np.testing.assert_allclose(fallback, exact, atol=1e-6)
+
+
+def test_proposal_subsample_sharded_matches_single_chip():
+    """Row-block mesh sharding with even rows per shard must reproduce the
+    single-chip subsampled placement exactly (blocks never straddle
+    shards) — the production multi-chip serving invariant."""
+    from jax.sharding import Mesh
+    from nerf_workspaces_explorer_tpu.parallel.sharding import shard_render
+    from nerf_workspaces_explorer_tpu.render.proposal import proposal_spec
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the 4+ device CPU mesh")
+    spec = NerfMLPSpec(depth=2, width=128, input_ch=51)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+    params = {
+        "proposal": init_nerf_params(k1, proposal_spec(6)),
+        "fine": init_nerf_params(k2, spec),
+    }
+    for net in params.values():
+        net["alpha"]["b"] = net["alpha"]["b"] + 2.0
+    h, w = 8, 16  # 4 shards x 2 rows: even rows per shard
+    rays = create_rays(
+        jnp.eye(4)[None], h, w, 8.0, 8.0, 7.5, 3.5, 0.1, 6.0
+    ).reshape(h * w)
+    settings = RenderSettings(
+        n_samples=8, n_importance=8, num_freqs_3d=8,
+        use_proposal=True, merge_coarse=False, proposal_subsample=2,
+    )
+    single = np.asarray(
+        render_rays_fused(
+            params, rays, settings, spec=spec, interpret=True,
+            early_stop_eps=0.0, ray_tile=128, grid_hw=(h, w),
+        )
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]), ("rays",))
+    sharded = shard_render(
+        params, rays, settings, mesh, spec=spec, use_pallas=True,
+        interpret=True, early_stop_eps=0.0, grid_hw=(h, w),
+    )["rgb_fine"]
+    np.testing.assert_allclose(np.asarray(sharded), single, atol=1e-5)
