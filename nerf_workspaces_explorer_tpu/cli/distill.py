@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     # (reports/turbo_sample_probe.md).
     parser.add_argument("--n-importance-serving", type=int, default=64,
                         help="importance samples the turbo preset serves with")
+    parser.add_argument("--prop-subsample-serving", type=int, default=1,
+                        help="coarse/importance ray-lattice stride the turbo "
+                        "preset serves with (gate: validate_quality.py "
+                        "--prop-subsample)")
     parser.add_argument("--n-samples", type=int, default=None,
                         help="uniform proposal-pass samples the student "
                         "trains AND serves with (default: the teacher "
@@ -117,6 +121,7 @@ def main(argv=None) -> str:
     save_turbo_checkpoint(
         out, student_params, student_cfg,
         n_importance_serving=args.n_importance_serving,
+        proposal_subsample_serving=args.prop_subsample_serving,
         report=report, teacher=ckpt, step=args.steps,
     )
     print(

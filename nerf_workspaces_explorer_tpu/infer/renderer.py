@@ -268,6 +268,10 @@ class NeRFRenderer:
                 num_freqs_3d=int(student["num_freqs_3d"]),
                 num_freqs_2d=int(student.get("num_freqs_2d", 4)),
                 proposal_num_freqs=int(student.get("proposal_num_freqs", 6)),
+                # Serving placement stride the student was quality-gated
+                # at (validate_quality.py --prop-subsample); the explicit
+                # `proposal_subsample` ctor arg below still overrides.
+                proposal_subsample=int(student.get("proposal_subsample", 1)),
             )
         if n_importance is not None:
             self._settings = self._settings._replace(n_importance=n_importance)

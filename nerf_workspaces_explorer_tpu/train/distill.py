@@ -362,11 +362,17 @@ def save_turbo_checkpoint(
     student_cfg: FrameworkConfig,
     *,
     n_importance_serving: int = 64,
+    proposal_subsample_serving: int = 1,
     report: Optional[Dict[str, Any]] = None,
     teacher: str = "",
     step: int = 0,
 ) -> None:
-    """Write the `.turbo.npz` sidecar NeRFRenderer(preset='turbo') loads."""
+    """Write the `.turbo.npz` sidecar NeRFRenderer(preset='turbo') loads.
+
+    `proposal_subsample_serving` records the coarse/importance ray-lattice
+    stride (RenderSettings.proposal_subsample) the student was quality-gated
+    at; the turbo preset serves with it by default.
+    """
     meta: Dict[str, Any] = {
         "turbo": True,
         "teacher": os.path.basename(teacher),
@@ -378,6 +384,7 @@ def save_turbo_checkpoint(
             "n_samples": student_cfg.rendering.n_samples,
             "n_importance": n_importance_serving,
             "proposal_num_freqs": 6,
+            "proposal_subsample": int(proposal_subsample_serving),
         },
     }
     if report:

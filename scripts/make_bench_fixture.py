@@ -89,7 +89,8 @@ def train_one(name, use_proposal, steps, out_dir):
 
 
 def distill_turbo(steps, out_dir, *, depth=4, width=128, freqs=8,
-                  n_importance_serving=64, n_samples=None):
+                  n_importance_serving=64, n_samples=None,
+                  proposal_subsample_serving=1):
     """Distill the proposal teacher fixture into the turbo sidecar
     bench.py times (NeRFRenderer preset='turbo')."""
     from nerf_workspaces_explorer_tpu.core.config import (
@@ -131,6 +132,7 @@ def distill_turbo(steps, out_dir, *, depth=4, width=128, freqs=8,
     save_turbo_checkpoint(
         sidecar, student_params, student_cfg,
         n_importance_serving=n_importance_serving,
+        proposal_subsample_serving=proposal_subsample_serving,
         report=report, teacher=teacher_path, step=steps,
     )
     print(
@@ -158,6 +160,9 @@ def main():
                         "trains and serves with")
     parser.add_argument("--turbo-n-importance", type=int, default=64,
                         help="importance samples the turbo preset serves")
+    parser.add_argument("--turbo-prop-subsample", type=int, default=1,
+                        help="coarse/importance ray-lattice stride the "
+                        "turbo preset serves with")
     args = parser.parse_args()
     out = os.path.abspath(args.out)
     os.makedirs(out, exist_ok=True)
@@ -169,6 +174,7 @@ def main():
         depth=args.turbo_depth, width=args.turbo_width,
         freqs=args.turbo_freqs, n_samples=args.turbo_n_samples,
         n_importance_serving=args.turbo_n_importance,
+        proposal_subsample_serving=args.turbo_prop_subsample,
     )
 
 

@@ -105,12 +105,14 @@ def test_distill_and_turbo_roundtrip(tiny_teacher, tmp_path):
     assert sidecar == str(tmp_path / "model.turbo.npz")
     save_turbo_checkpoint(
         sidecar, student_params, student_cfg,
-        n_importance_serving=12, report=report, teacher=teacher_ckpt,
+        n_importance_serving=12, proposal_subsample_serving=2,
+        report=report, teacher=teacher_ckpt,
     )
     meta = read_turbo_metadata(sidecar)
     assert meta["turbo"] is True
     assert meta["student"]["width"] == 32
     assert meta["student"]["n_importance"] == 12
+    assert meta["student"]["proposal_subsample"] == 2
     assert meta["distill_report"]["psnr_vs_teacher"] == pytest.approx(
         report["psnr_vs_teacher"]
     )
@@ -136,6 +138,8 @@ def test_distill_and_turbo_roundtrip(tiny_teacher, tmp_path):
     assert r._settings.use_proposal and not r._settings.merge_coarse
     assert r._settings.n_importance == 12
     assert r._settings.num_freqs_3d == 5
+    # The gated serving stride rides the sidecar metadata into settings.
+    assert r._settings.proposal_subsample == 2
     r.initialize_models()
     img = r.render_coordinates(COORD(x=0.0, y=0.0, z=2.5, pitch=-90.0), COORD())
     assert img.shape == (H, W, 3) and img.dtype == np.uint8
