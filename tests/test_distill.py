@@ -225,6 +225,60 @@ def test_turbo_requires_sidecar(tmp_path):
                      preset="turbo")
 
 
+def test_set_turbo_serving_config_patches_metadata_only(tiny_teacher, tmp_path):
+    """scripts/set_turbo_serving_config.py rewrites the sidecar's serving
+    knobs (n_importance / proposal_subsample) in place without touching the
+    student weights — the path a newly passed quality gate takes to adopt a
+    cheaper placement without re-distilling."""
+    import subprocess
+    import sys as _sys
+
+    trainer, cfg, poses = tiny_teacher
+    student_params, student_cfg, report = distill_student(
+        trainer.params, trainer._spec, trainer._settings, poses,
+        height=H, width=W, near=0.1, far=6.0, steps=10,
+        depth=2, net_width=32, num_freqs_3d=5, n_holdout=1,
+        use_pallas=False, log_every=0, name="distill_patch",
+    )
+    sidecar = str(tmp_path / "model.turbo.npz")
+    save_turbo_checkpoint(
+        sidecar, student_params, student_cfg,
+        n_importance_serving=16, report=report,
+        teacher=str(tmp_path / "model.npz"),
+    )
+    before = np.load(sidecar)
+    weight_keys = [k for k in before.files if k != "__meta__"]
+    weights_before = {k: before[k].copy() for k in weight_keys}
+
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "set_turbo_serving_config.py"
+    )
+    out = subprocess.run(
+        [_sys.executable, script, sidecar,
+         "--n-importance", "12", "--prop-subsample", "4"],
+        capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stderr
+
+    meta = read_turbo_metadata(sidecar)
+    assert meta["student"]["n_importance"] == 12
+    assert meta["student"]["proposal_subsample"] == 4
+    after = np.load(sidecar)
+    assert sorted(after.files) == sorted(before.files)
+    for k in weight_keys:
+        np.testing.assert_array_equal(after[k], weights_before[k])
+
+    # A non-turbo npz must be rejected, not silently rewritten.
+    plain = str(tmp_path / "plain.npz")
+    np.savez(plain, __meta__=np.frombuffer(b'{"turbo": false}', dtype=np.uint8))
+    out = subprocess.run(
+        [_sys.executable, script, plain, "--prop-subsample", "2"],
+        capture_output=True, text=True,
+    )
+    assert out.returncode != 0
+    assert "not a turbo sidecar" in (out.stderr + out.stdout)
+
+
 def test_office_distill_poses_cover_the_floor_plan():
     poses = office_distill_poses("tokyo", grid=2, yaw_step_degrees=90.0)
     assert poses.shape == (2 * 2 * 4, 4, 4)
