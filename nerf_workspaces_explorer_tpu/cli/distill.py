@@ -51,7 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     # (reports/turbo_sample_probe.md).
     parser.add_argument("--n-importance-serving", type=int, default=64,
                         help="importance samples the turbo preset serves with")
-    parser.add_argument("--prop-subsample-serving", type=int, default=1,
+    # Stride-4 coarse/importance lattice: 20k-step gate passes at -0.00 dB
+    # vs exact placement (reports/quality_gate_subsample4_20k.md).
+    parser.add_argument("--prop-subsample-serving", type=int, default=4,
                         help="coarse/importance ray-lattice stride the turbo "
                         "preset serves with (gate: validate_quality.py "
                         "--prop-subsample)")

@@ -90,7 +90,7 @@ def train_one(name, use_proposal, steps, out_dir):
 
 def distill_turbo(steps, out_dir, *, depth=4, width=128, freqs=8,
                   n_importance_serving=64, n_samples=None,
-                  proposal_subsample_serving=1):
+                  proposal_subsample_serving=4):
     """Distill the proposal teacher fixture into the turbo sidecar
     bench.py times (NeRFRenderer preset='turbo')."""
     from nerf_workspaces_explorer_tpu.core.config import (
@@ -160,9 +160,10 @@ def main():
                         "trains and serves with")
     parser.add_argument("--turbo-n-importance", type=int, default=64,
                         help="importance samples the turbo preset serves")
-    parser.add_argument("--turbo-prop-subsample", type=int, default=1,
+    parser.add_argument("--turbo-prop-subsample", type=int, default=4,
                         help="coarse/importance ray-lattice stride the "
-                        "turbo preset serves with")
+                        "turbo preset serves with (stride 4 gated at "
+                        "-0.00 dB, reports/quality_gate_subsample4_20k.md)")
     args = parser.parse_args()
     out = os.path.abspath(args.out)
     os.makedirs(out, exist_ok=True)
