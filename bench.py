@@ -12,8 +12,9 @@ QUALITY-GATED serving preset present:
   - FAST otherwise: the full 8x256 fine net, proposal(2x64) coarse pass,
     full-int8 kernels, importance-only fine pass (no re-evaluation of the
     64 uniform coarse depths the reference merges in,
-    …inference_handler.py:243) — gated by validate_quality.py
-    --proposal --fast-preset.
+    …inference_handler.py:243), placement on the stride-4 ray lattice —
+    gated by validate_quality.py --proposal --fast-preset
+    --prop-subsample 4.
 
 Both are timed; the reference-placement configuration (64+128=192 merged
 fine samples, identical sample placement to the reference) is timed

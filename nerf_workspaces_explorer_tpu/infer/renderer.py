@@ -103,6 +103,7 @@ def _render_c2w_batch_impl(
     early_stop_eps: float,
     sort_rays: bool,
     full_outputs: bool = False,
+    cy_override: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Traceable pose-batch -> frames body shared by the single-frame and
     batched jits (pure: all statics are explicit arguments so jitted
@@ -117,8 +118,13 @@ def _render_c2w_batch_impl(
 
     with jax.default_matmul_precision(matmul_precision):
         n = c2ws.shape[0]
+        # cy_override lets the strip-pipelined frame path render rows
+        # [r0, r0 + h) of a taller image through this same body: the strip
+        # is just the full image's pinhole grid with cy shifted by -r0
+        # (traced scalar, so every strip shares ONE compiled program).
+        cy = cfg.cy if cy_override is None else cy_override
         rays = create_rays(
-            c2ws, h, w, cfg.fx, cfg.fy, cfg.cx, cfg.cy, near, far
+            c2ws, h, w, cfg.fx, cfg.fy, cfg.cx, cy, near, far
         ).reshape(n * h * w)
         if use_pallas:
             # The fused kernel manages its own precision: fp32 ray math
@@ -236,6 +242,16 @@ class NeRFRenderer:
             # sort(cat(z_vals, z_samples)), …inference_handler.py:243).
             # Gate: scripts/validate_quality.py --fast-preset.
             self._settings = self._settings._replace(merge_coarse=False)
+            if use_proposal and use_pallas:
+                # Proposal-guided fast serving also defaults to the
+                # stride-4 placement lattice (coarse density + importance
+                # CDF on every 4th ray per image axis; fine shading stays
+                # per-ray exact). Gate: validate_quality.py
+                # --prop-subsample 4 at 20k steps, -0.02 dB
+                # (reports/quality_gate_subsample4_20k.md). The explicit
+                # `proposal_subsample` ctor arg below still overrides
+                # (pass 1 for exact placement).
+                self._settings = self._settings._replace(proposal_subsample=4)
         if preset == "turbo":
             # Distilled-student serving preset: a narrow proposal-mode
             # student (train/distill.py) compressed offline from this
@@ -298,6 +314,7 @@ class NeRFRenderer:
         self._render_batch_jit = None
         self._render_full_jit = None
         self._preview_jits: Dict[int, Any] = {}
+        self._strip_jits: Dict[int, Any] = {}
 
     @property
     def config(self) -> FrameworkConfig:
@@ -412,11 +429,15 @@ class NeRFRenderer:
         self._render_batch_jit = None
         self._render_full_jit = None
         self._preview_jits = {}
+        self._strip_jits = {}
         key = self._jit_cache_key()
         cached = _RENDER_JIT_CACHE.get(key) if key is not None else None
         if cached is not None:
             _RENDER_JIT_CACHE.move_to_end(key)
-            self._render_jit, self._render_uint8_jit = cached
+            # The strip dict is shared BY REFERENCE: a strip program built
+            # lazily by one renderer becomes visible to every renderer on
+            # the same static key.
+            self._render_jit, self._render_uint8_jit, self._strip_jits = cached
             return
         body = self._frozen_batch_body()
         self._render_jit = jax.jit(lambda params, c2w: body(params, c2w[None])[0])
@@ -429,7 +450,9 @@ class NeRFRenderer:
             ).astype(jnp.uint8)
         )
         if key is not None:
-            _RENDER_JIT_CACHE[key] = (self._render_jit, self._render_uint8_jit)
+            _RENDER_JIT_CACHE[key] = (
+                self._render_jit, self._render_uint8_jit, self._strip_jits,
+            )
             while len(_RENDER_JIT_CACHE) > _RENDER_JIT_CACHE_MAX:
                 _RENDER_JIT_CACHE.popitem(last=False)
 
@@ -497,6 +520,99 @@ class NeRFRenderer:
         if self._render_uint8_jit is None:
             raise RuntimeError("initialize_models() must be called before rendering")
         return self._render_uint8_jit(self._params, jnp.asarray(c2w, dtype=jnp.float32))
+
+    def _pick_n_strips(self) -> int:
+        """Largest strip count in 6..2 whose strips divide the image height
+        AND keep the placement-stride lattice intact (strip height a
+        multiple of proposal_subsample, so coarse/importance blocks never
+        straddle a strip boundary); 1 when none fits."""
+        h = self._config.experiment.image_height
+        stride = max(1, int(self._settings.proposal_subsample or 1))
+        for n in (6, 5, 4, 3, 2):
+            if h % n == 0 and (h // n) % stride == 0:
+                return n
+        return 1
+
+    def _strip_fn(self, strip_h: int):
+        fn = self._strip_jits.get(strip_h)
+        if fn is None:
+            import dataclasses
+            import functools
+
+            cfg = dataclasses.replace(
+                self._config,
+                experiment=dataclasses.replace(
+                    self._config.experiment, image_height=strip_h
+                ),
+            )
+            body = functools.partial(
+                _render_c2w_batch_impl,
+                cfg=cfg,
+                settings=self._settings,
+                spec=self._spec,
+                precision=self._precision,
+                chunk=self._chunk,
+                use_pallas=self._use_pallas,
+                mesh=self._mesh,
+                quant=self._quant,
+                early_stop_eps=self._early_stop_eps,
+                sort_rays=self._sort_rays,
+            )
+            fn = jax.jit(
+                lambda params, c2w, cy: jnp.floor(
+                    255.0
+                    * jnp.clip(body(params, c2w[None], cy_override=cy)[0], 0.0, 1.0)
+                ).astype(jnp.uint8)
+            )
+            self._strip_jits[strip_h] = fn
+        return fn
+
+    def render_pose_uint8_pipelined(
+        self, c2w: np.ndarray, n_strips: Optional[int] = None
+    ) -> np.ndarray:
+        """Blocking uint8 frame rendered as row strips enqueued back to
+        back, with strip k's host download overlapping strip k+1's compute
+        (the single-frame analog of `render_poses_uint8_stream`).
+
+        MEASURED LOSER on the tunneled chip and therefore NOT the default
+        product path (scripts/profile_pipelined.py, 640x480 turbo frame:
+        blocking 129.7 ms vs 168.7/210.2/250.8 ms at 4/6/8 strips) — every
+        strip call pays the tunnel's ~26 ms host-side dispatch cost
+        SERIALLY, which exceeds the ~30 ms fetch it hides. Kept as an
+        opt-in for locally-attached devices where per-call dispatch is
+        ~zero and the fetch genuinely pipelines.
+
+        Each strip is the full frame's pinhole grid with cy shifted (one
+        shared compiled program), and strip heights stay multiples of the
+        placement stride so `proposal_subsample` blocks never straddle a
+        strip boundary. Per-ray math is identical; with fused-kernel early
+        termination enabled the strip tiling differs from the full-frame
+        tiling, so frames agree to the ET bound eps (byte-identical on the
+        jnp path / at eps=0)."""
+        if self._render_uint8_jit is None:
+            raise RuntimeError(
+                "initialize_models() must be called before rendering"
+            )
+        h = self._config.experiment.image_height
+        if n_strips is None:
+            n_strips = self._pick_n_strips()
+        stride = max(1, int(self._settings.proposal_subsample or 1))
+        if h % n_strips or (h // n_strips) % stride:
+            raise ValueError(
+                f"n_strips={n_strips} must divide height {h} into "
+                f"stride-{stride}-aligned strips"
+            )
+        if n_strips == 1:
+            return np.asarray(self.render_pose_uint8(c2w))
+        strip_h = h // n_strips
+        fn = self._strip_fn(strip_h)
+        c2w = jnp.asarray(c2w, dtype=jnp.float32)
+        cy = self._config.cy
+        strips = [
+            fn(self._params, c2w, jnp.float32(cy - r0))
+            for r0 in range(0, h, strip_h)
+        ]
+        return np.concatenate([np.asarray(s) for s in strips], axis=0)
 
     def render_coordinates(self, init_coordinates: COORD, coordinates: COORD) -> np.ndarray:
         """COORD pair -> uint8 [H, W, 3] frame.

@@ -153,6 +153,50 @@ def test_early_termination_matches_no_termination(params):
     np.testing.assert_allclose(rgb_stop, rgb_full, atol=2e-4)
 
 
+def test_et_check_every_chunking_is_exact(params):
+    """Intra-group ET chunks (et_check_every < samples_per_step) must match
+    the per-group default to ~eps: the skip bound is granularity-independent.
+    (Chunking measured SLOWER on the TPU — see the nerf_render_pallas note —
+    but the knob's numerics are pinned here.)"""
+    from nerf_workspaces_explorer_tpu.ops.pallas_render import (
+        _dists_from_z,
+        nerf_render_pallas,
+    )
+    from nerf_workspaces_explorer_tpu.rays.sampling import coarse_z_vals
+
+    hot = jax.tree.map(lambda x: x, params)
+    hot["fine"]["alpha"]["b"] = hot["fine"]["alpha"]["b"] + 6.0  # saturate
+    kp = prepare_kernel_params(hot["fine"], SPEC)
+    rays = create_rays(
+        jnp.eye(4)[None], 8, 16, 8.0, 8.0, 7.5, 3.5, 0.5, 4.0
+    ).reshape(128)
+    origins = rays.origins.astype(jnp.float32)
+    dirs = rays.dirs.astype(jnp.float32)
+    dir_norm = jnp.linalg.norm(dirs, axis=-1)[None, :]
+    o_ph, d_ph = ray_phase_vectors(origins, dirs, kp.pts_freqs)
+    venc = encode_viewdirs_kernel_order(rays.viewdirs.astype(jnp.float32))
+    z = coarse_z_vals(rays.near.astype(jnp.float32),
+                      rays.far.astype(jnp.float32), 16).T
+    dists = _dists_from_z(z, dir_norm)
+
+    def run(**kw):
+        return np.asarray(
+            nerf_render_pallas(
+                kp, o_ph, d_ph, z, dists, venc, ray_tile=128,
+                samples_per_step=16, early_stop_eps=1e-4, interpret=True,
+                **kw,
+            )
+        )
+
+    base = run()  # default: one check per 16-sample group
+    for chunk in (4, 8):
+        np.testing.assert_allclose(
+            run(et_check_every=chunk), base, atol=2e-4
+        )
+    # Non-divisor request falls back to the largest divisor; still exact.
+    np.testing.assert_allclose(run(et_check_every=5), base, atol=2e-4)
+
+
 def test_int8_trunk_matches_fp32_pipeline(params):
     """int8 serving mode (ops/quantize.py): the quantized trunk must stay
     within a visually-lossless budget of the fp32 jnp pipeline (the bench

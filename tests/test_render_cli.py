@@ -251,6 +251,113 @@ def test_fast_preset_renderer_and_cache_key():
     assert np.all(np.isfinite(frame.astype(np.float32)))
 
 
+def test_fast_preset_default_placement_stride():
+    """Proposal-guided preset='fast' on the fused path defaults to the
+    quality-gated stride-4 placement lattice; the jnp pipeline and an
+    explicit proposal_subsample=1 keep exact per-ray placement."""
+    from nerf_workspaces_explorer_tpu.core.config import (
+        ExperimentConfig,
+        FrameworkConfig,
+        RenderingConfig,
+    )
+    from nerf_workspaces_explorer_tpu.infer.renderer import NeRFRenderer
+
+    cfg = FrameworkConfig(
+        experiment=ExperimentConfig(image_width=16, image_height=8),
+        rendering=RenderingConfig(n_samples=4, n_importance=4,
+                                  num_freqs_3d=6, num_freqs_2d=2),
+    )
+    fused = NeRFRenderer(
+        "office_tokyo", None, config=cfg, use_pallas=True,
+        use_proposal=True, preset="fast",
+    )
+    assert fused._settings.proposal_subsample == 4
+    exact = NeRFRenderer(
+        "office_tokyo", None, config=cfg, use_pallas=True,
+        use_proposal=True, preset="fast", proposal_subsample=1,
+    )
+    assert exact._settings.proposal_subsample == 1
+    jnp_path = NeRFRenderer(
+        "office_tokyo", None, config=cfg, use_pallas=False,
+        use_proposal=True, preset="fast",
+    )
+    assert jnp_path._settings.proposal_subsample == 1
+    # Hierarchical (non-proposal) fast serving keeps exact placement: the
+    # stride gate only covers proposal checkpoints.
+    hier = NeRFRenderer(
+        "office_tokyo", None, config=cfg, use_pallas=True, preset="fast",
+    )
+    assert hier._settings.proposal_subsample == 1
+
+
+def test_pipelined_strip_frame_matches_blocking():
+    """render_pose_uint8_pipelined must return byte-identical frames to
+    render_pose_uint8: strips are the same pinhole grid with cy shifted,
+    strip heights stay stride-aligned."""
+    import jax.numpy as jnp
+
+    from nerf_workspaces_explorer_tpu.core.config import (
+        ExperimentConfig,
+        FrameworkConfig,
+        RenderingConfig,
+    )
+    from nerf_workspaces_explorer_tpu.infer.renderer import NeRFRenderer
+
+    cfg = FrameworkConfig(
+        experiment=ExperimentConfig(image_width=16, image_height=12),
+        rendering=RenderingConfig(n_samples=4, n_importance=4,
+                                  num_freqs_3d=6, num_freqs_2d=2),
+    )
+    r = NeRFRenderer("office_tokyo", None, config=cfg, use_pallas=False)
+    r.initialize_models(allow_random_init=True)
+    r.params["fine"]["alpha"]["b"] += 2.0
+    r.params["fine"]["rgb"]["w"] *= 8.0
+    pose = np.eye(4, dtype=np.float32)
+    blocking = np.asarray(r.render_pose_uint8(pose))
+    assert r._pick_n_strips() == 6  # 12 rows, stride 1
+    for n in (2, 3, 6, None):
+        piped = r.render_pose_uint8_pipelined(pose, n_strips=n)
+        assert piped.shape == (12, 16, 3) and piped.dtype == np.uint8
+        np.testing.assert_array_equal(piped, blocking)
+    with pytest.raises(ValueError):
+        r.render_pose_uint8_pipelined(pose, n_strips=5)  # 12 % 5 != 0
+
+
+def test_pipelined_strip_frame_respects_stride_alignment():
+    """With a stride-4 placement lattice, strip heights must stay multiples
+    of 4 — _pick_n_strips falls back accordingly."""
+    from nerf_workspaces_explorer_tpu.core.config import (
+        ExperimentConfig,
+        FrameworkConfig,
+        RenderingConfig,
+    )
+    from nerf_workspaces_explorer_tpu.infer.renderer import NeRFRenderer
+
+    cfg = FrameworkConfig(
+        experiment=ExperimentConfig(image_width=16, image_height=24),
+        rendering=RenderingConfig(n_samples=4, n_importance=4,
+                                  num_freqs_3d=6, num_freqs_2d=2),
+    )
+    r = NeRFRenderer(
+        "office_tokyo", None, config=cfg, use_pallas=True,
+        use_proposal=True, preset="fast",  # defaults proposal_subsample=4
+    )
+    assert r._settings.proposal_subsample == 4
+    # 24 rows: n=6 -> 4-row strips (aligned); n=5 skipped (24 % 5); ok.
+    assert r._pick_n_strips() == 6
+    cfg2 = FrameworkConfig(
+        experiment=ExperimentConfig(image_width=16, image_height=20),
+        rendering=RenderingConfig(n_samples=4, n_importance=4,
+                                  num_freqs_3d=6, num_freqs_2d=2),
+    )
+    r2 = NeRFRenderer(
+        "office_tokyo", None, config=cfg2, use_pallas=True,
+        use_proposal=True, preset="fast",
+    )
+    # 20 rows at stride 4: 5 strips of 4 rows is the only aligned split.
+    assert r2._pick_n_strips() == 5
+
+
 def test_nan_debug_scans_full_output_dict(capsys):
     """--nan-debug renders the full reference output dict (rgb/disp/acc/
     depth, …inference_handler.py:256-268) and scans every key."""
