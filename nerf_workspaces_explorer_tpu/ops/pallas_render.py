@@ -456,13 +456,32 @@ def encode_viewdirs_kernel_order(
 def _encode_step(o_ph, d_ph, z_row, num_freqs, compute_dtype, qscale=None):
     """One sample step's [enc_dim, R] features from per-ray phase vectors.
 
+    The frequency ladder is built by octave doubling from ONE sin/cos pair
+    on the 3 base rows (sin 2x = 2 sin x cos x, cos 2x = 1 - 2 sin^2 x)
+    instead of a transcendental over all 6F frequency rows: the full-block
+    sin chain was measured at ~81% of the narrow-student fine pass
+    (scripts/profile_fine_ablation.py, 4x128@8f 48s: 44.5 -> 8.5 ms with
+    the encode ablated). Doubling amplifies the base sin/cos rounding
+    error ~2x per octave, so the top frequency carries ~2^(F-1) * eps_f32
+    ~= 1e-5 absolute error — far below bf16 resolution and the int8
+    quantization step (1/127), and covered by tests/test_pallas.py.
+
     With `qscale` (int8 trunk mode) the features quantize to symmetric int8
     in the same fused elementwise chain that the bf16 cast used.
     """
-    phases = o_ph + z_row * d_ph  # fp32 FMA
-    row = jax.lax.broadcasted_iota(jnp.int32, phases.shape, 0)
+    p = o_ph[0:3] + z_row * d_ph[0:3]  # base phases coord/sf, fp32 FMA
+    s, c = jnp.sin(p), jnp.cos(p)
+    sin_rows, cos_rows = [s], [c]
+    for _ in range(num_freqs - 1):
+        s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+        sin_rows.append(s)
+        cos_rows.append(c)
+    rows = [p] + sin_rows + cos_rows
     live = 3 + 6 * num_freqs
-    feat = jnp.where(row < 3, phases, jnp.where(row < live, jnp.sin(phases), 0.0))
+    enc_dim = _enc_dim(num_freqs)
+    if enc_dim > live:
+        rows.append(jnp.zeros((enc_dim - live,) + p.shape[1:], p.dtype))
+    feat = jnp.concatenate(rows, axis=0)
     if qscale is not None:
         return jnp.clip(jnp.round(feat * qscale), -127, 127).astype(jnp.int8)
     return feat.astype(compute_dtype)

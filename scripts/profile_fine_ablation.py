@@ -108,6 +108,55 @@ def _ablation_kernel(
                     kp.feat_qscale,
                 )
             feat = feat0
+        elif "enc-direct" in ablate:
+            # The pre-recurrence full-block transcendental (numerics match;
+            # timing comparison point for the octave-doubling encode).
+            phases = o_ph[:] + z_row * d_ph[:]
+            row = jax.lax.broadcasted_iota(jnp.int32, phases.shape, 0)
+            live = 3 + 6 * kp.pts_freqs
+            ft = jnp.where(
+                row < 3, phases, jnp.where(row < live, jnp.sin(phases), 0.0)
+            )
+            feat = jnp.clip(
+                jnp.round(ft * kp.feat_qscale), -127, 127
+            ).astype(jnp.int8)
+        elif "enc-nobase" in ablate:
+            # Recurrence encode with the two [3, R] transcendentals replaced
+            # by cheap muls (timing-only): isolates the base sin/cos cost.
+            p = o_ph[0:3] + z_row * d_ph[0:3]
+            s, c = p * 0.11, p * 0.12
+            rows = [p]
+            sin_rows, cos_rows = [s], [c]
+            for _ in range(kp.pts_freqs - 1):
+                s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+                sin_rows.append(s)
+                cos_rows.append(c)
+            rows += sin_rows + cos_rows
+            live = 3 + 6 * kp.pts_freqs
+            enc_dim = o_ph.shape[0]
+            if enc_dim > live:
+                rows.append(jnp.zeros((enc_dim - live,) + p.shape[1:], p.dtype))
+            ft = jnp.concatenate(rows, axis=0)
+            feat = jnp.clip(
+                jnp.round(ft * kp.feat_qscale), -127, 127
+            ).astype(jnp.int8)
+        elif "enc-noconcat" in ablate:
+            # Recurrence chain kept live via a cheap piece-sum, but the trunk
+            # consumes a cached feat: isolates the 3-row concat/relayout cost
+            # (timing-only).
+            p = o_ph[0:3] + z_row * d_ph[0:3]
+            s, c = jnp.sin(p), jnp.cos(p)
+            acc = p + s + c
+            for _ in range(kp.pts_freqs - 1):
+                s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+                acc = acc + s + c
+            accq = jnp.clip(jnp.round(acc * kp.feat_qscale), -127, 127)
+            if feat0 is None:
+                feat0 = _encode_step(
+                    o_ph, d_ph, z_row, kp.pts_freqs, jnp.bfloat16,
+                    kp.feat_qscale,
+                )
+            feat = feat0 + accq.astype(jnp.int8)[0:1]
         else:
             feat = _encode_step(
                 o_ph, d_ph, z_row, kp.pts_freqs, jnp.bfloat16, kp.feat_qscale
@@ -241,6 +290,8 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--sps", type=int, default=32)
     args = ap.parse_args()
+    while args.samples % args.sps:
+        args.sps //= 2
 
     from nerf_workspaces_explorer_tpu.ops.quantize import calibrate_model_quant
     from nerf_workspaces_explorer_tpu.rays import create_rays
@@ -281,8 +332,7 @@ def main() -> None:
 
     timed(f"full {args.samples}s sps={args.sps}", jax.jit(full), z)
     for ablate in (
-        ("enc",), ("heads",), ("epilogue",),
-        ("enc", "heads", "epilogue"),
+        ("enc",), ("enc-direct",), ("enc-nobase",), ("enc-noconcat",),
     ):
         tag = "+".join(ablate)
 
