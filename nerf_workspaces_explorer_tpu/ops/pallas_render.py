@@ -453,8 +453,52 @@ def encode_viewdirs_kernel_order(
     return feat.T.astype(dtype)
 
 
+# Quadrant-reduced polynomial sin/cos (cephes sinf/cosf coefficients on
+# [-pi/4, pi/4]; Cody-Waite two-term pi/2 split for the reduction).
+_SIN_C = (-1.6666654611e-1, 8.3321608736e-3, -1.9515295891e-4)
+_COS_C = (-0.5, 4.166664568298827e-2, -1.388731625493765e-3, 2.443315711809948e-5)
+_PIO2_HI = 1.5707855224609375
+_PIO2_LO = math.pi / 2.0 - _PIO2_HI
+
+
+def _sincos_poly(p: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """sin(p), cos(p) in fp32 via one quadrant reduction + two short
+    even/odd polynomials (~25 VPU ops for BOTH values vs ~110 for a pair
+    of XLA transcendentals — the encode chain was measured at ~81% of the
+    narrow-student fine pass, scripts/profile_fine_ablation.py).
+
+    Max abs error ~8e-8 over |p|<=4 (validated through the octave-doubling
+    ladder: top-frequency error equals the exact-fp32-base ladder's, so
+    this is numerically free). |p| is bounded by scene_extent/10 here, far
+    inside fp32 reduction range.
+    """
+    q = jnp.round(p * (2.0 / math.pi))
+    r = (p - q * _PIO2_HI) - q * _PIO2_LO
+    r2 = r * r
+    s0 = r + r * r2 * (_SIN_C[0] + r2 * (_SIN_C[1] + r2 * _SIN_C[2]))
+    c0 = 1.0 + r2 * (
+        _COS_C[0] + r2 * (_COS_C[1] + r2 * (_COS_C[2] + r2 * _COS_C[3]))
+    )
+    qi = q.astype(jnp.int32)
+    swap = (qi & 1) == 1
+    s = jnp.where(swap, c0, s0)
+    c = jnp.where(swap, -s0, c0)
+    sign = jnp.where((qi & 2) == 2, -1.0, 1.0)
+    return s * sign, c * sign
+
+
 def _encode_step(o_ph, d_ph, z_row, num_freqs, compute_dtype, qscale=None):
     """One sample step's [enc_dim, R] features from per-ray phase vectors.
+
+    With `qscale` (int8 trunk mode) the features quantize to symmetric int8
+    in the same fused elementwise chain that the bf16 cast used.
+    """
+    p = o_ph[0:3] + z_row * d_ph[0:3]  # base phases coord/sf, fp32 FMA
+    return _encode_ladder(p, num_freqs, compute_dtype, qscale)
+
+
+def _encode_ladder(p, num_freqs, compute_dtype, qscale=None):
+    """[3, T] base phases -> [enc_dim, T] features in kernel row order.
 
     The frequency ladder is built by octave doubling from ONE sin/cos pair
     on the 3 base rows (sin 2x = 2 sin x cos x, cos 2x = 1 - 2 sin^2 x)
@@ -465,12 +509,8 @@ def _encode_step(o_ph, d_ph, z_row, num_freqs, compute_dtype, qscale=None):
     error ~2x per octave, so the top frequency carries ~2^(F-1) * eps_f32
     ~= 1e-5 absolute error — far below bf16 resolution and the int8
     quantization step (1/127), and covered by tests/test_pallas.py.
-
-    With `qscale` (int8 trunk mode) the features quantize to symmetric int8
-    in the same fused elementwise chain that the bf16 cast used.
     """
-    p = o_ph[0:3] + z_row * d_ph[0:3]  # base phases coord/sf, fp32 FMA
-    s, c = jnp.sin(p), jnp.cos(p)
+    s, c = _sincos_poly(p)
     sin_rows, cos_rows = [s], [c]
     for _ in range(num_freqs - 1):
         s, c = 2.0 * s * c, 1.0 - 2.0 * s * s

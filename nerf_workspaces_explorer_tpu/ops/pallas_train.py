@@ -38,12 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nerf_workspaces_explorer_tpu.models.mlp import NerfMLPSpec
 from nerf_workspaces_explorer_tpu.ops.pallas_render import (
-    _cos_bias,
     _enc_dim,
+    _encode_ladder,
     _encoding_permutation,
     _freqs_from_input_ch,
     _permute_pad_in_rows as _perm_pad,
-    _phase_scales,
 )
 
 DEFAULT_ROW_TILE = 2048
@@ -117,11 +116,6 @@ def _build_kernel_inputs(
         inputs["w_rgb_t"] = cast(w_rgb.T)
     inputs["b_rgb"] = jnp.zeros((8, 1), jnp.float32).at[:3, 0].set(f32(params["rgb"]["b"]))
 
-    inputs["pts_phase"] = jnp.asarray(_phase_scales(pts_freqs, _enc_dim(pts_freqs), 10.0)).T
-    inputs["pts_cos"] = jnp.asarray(_cos_bias(pts_freqs, _enc_dim(pts_freqs)))[:, None]
-    inputs["view_phase"] = jnp.asarray(_phase_scales(view_freqs, _enc_dim(view_freqs), 1.0)).T
-    inputs["view_cos"] = jnp.asarray(_cos_bias(view_freqs, _enc_dim(view_freqs)))[:, None]
-
     meta = dict(
         n_layers=len(params["pts"]),
         skips=tuple(spec.skips),
@@ -173,20 +167,19 @@ def _grad_shapes(meta) -> Dict[str, Tuple[int, ...]]:
     return shapes
 
 
-def _encode(x, phase_mat, cos_bias, num_freqs, dtype):
-    """[3, T] -> [enc, T] features in kernel row order."""
-    phases = jnp.dot(phase_mat, x, preferred_element_type=jnp.float32) + cos_bias
-    row = jax.lax.broadcasted_iota(jnp.int32, phases.shape, 0)
-    live = 3 + 6 * num_freqs
-    feat = jnp.where(row < 3, phases, jnp.where(row < live, jnp.sin(phases), 0.0))
-    return feat.astype(dtype)
+def _encode(x, num_freqs, scalar_factor, dtype):
+    """[3, T] coords -> [enc, T] features in kernel row order, via the
+    shared octave-doubling ladder (see pallas_render._encode_ladder — the
+    full-block `sin(phase_mat @ x)` this replaced was measured 2.3x more
+    expensive on the render kernel's identical encode chain)."""
+    return _encode_ladder(x * (1.0 / scalar_factor), num_freqs, dtype)
 
 
 def _forward_from_refs(pts, views, get, meta):
     """Forward pass; returns (acts for bwd, raw [8, T])."""
     dtype = meta["dtype"]
-    feat = _encode(pts, get("pts_phase"), get("pts_cos"), meta["pts_freqs"], dtype)
-    venc = _encode(views, get("view_phase"), get("view_cos"), meta["view_freqs"], dtype)
+    feat = _encode(pts, meta["pts_freqs"], 10.0, dtype)
+    venc = _encode(views, meta["view_freqs"], 1.0, dtype)
 
     hs = []
     h = feat

@@ -156,7 +156,11 @@ def _ablation_kernel(
                     o_ph, d_ph, z_row, kp.pts_freqs, jnp.bfloat16,
                     kp.feat_qscale,
                 )
-            feat = feat0 + accq.astype(jnp.int8)[0:1]
+            # Mosaic has no i8 vector add; fold the live piece-sum in i32
+            # (timing-only: one extra widen/narrow pair per sample).
+            feat = (
+                feat0.astype(jnp.int32) + accq.astype(jnp.int32)[0:1]
+            ).astype(jnp.int8)
         else:
             feat = _encode_step(
                 o_ph, d_ph, z_row, kp.pts_freqs, jnp.bfloat16, kp.feat_qscale

@@ -71,6 +71,32 @@ def test_ray_phase_vectors_reproduce_encoding():
             )
 
 
+def test_sincos_poly_matches_transcendental():
+    """The quadrant-reduced polynomial sin/cos pair must stay within a few
+    fp32 ulps of the libm values over the kernel's phase range (base phases
+    are coord/scalar_factor, |p| << 4), so the octave-doubling ladder built
+    on it is numerically identical to one built on jnp.sin/jnp.cos."""
+    from nerf_workspaces_explorer_tpu.ops.pallas_render import _sincos_poly
+
+    rng = np.random.default_rng(7)
+    p = jnp.asarray(rng.uniform(-4.0, 4.0, size=(4096,)), dtype=jnp.float32)
+    s, c = jax.jit(_sincos_poly)(p)
+    p64 = np.asarray(p, dtype=np.float64)
+    np.testing.assert_allclose(np.asarray(s), np.sin(p64), atol=2e-7)
+    np.testing.assert_allclose(np.asarray(c), np.cos(p64), atol=2e-7)
+    # exact at the quadrant boundaries (q*pi/2 rounding edges)
+    edges = jnp.asarray(
+        np.arange(-5, 6) * np.pi / 2.0 + 1e-7, dtype=jnp.float32
+    )
+    se, ce = jax.jit(_sincos_poly)(edges)
+    np.testing.assert_allclose(
+        np.asarray(se), np.sin(np.asarray(edges, np.float64)), atol=2e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(ce), np.cos(np.asarray(edges, np.float64)), atol=2e-7
+    )
+
+
 def test_viewdir_encoding_kernel_order():
     rng = np.random.default_rng(1)
     vd = rng.normal(size=(7, 3))
