@@ -96,6 +96,12 @@ def _ablation_kernel(
     trans = acc_ref[5:6, :]
     rgb_acc = acc_ref[0:3, :]
     feat0 = None
+    duo_cache = None
+    if "enc-duo" in ablate:
+        # Hoisted pair operands: both samples' base rows share one
+        # 8-sublane block (rows 0-2 = even sample, 3-5 = odd).
+        o_pair = jnp.concatenate([o_ph[0:3], o_ph[0:3]], axis=0)
+        d_pair = jnp.concatenate([d_ph[0:3], d_ph[0:3]], axis=0)
     for k in range(samples_per_step):
         z_row = zd[2 * k : 2 * k + 1, :]
         dist_row = zd[2 * k + 1 : 2 * k + 2, :]
@@ -140,6 +146,104 @@ def _ablation_kernel(
             feat = jnp.clip(
                 jnp.round(ft * kp.feat_qscale), -127, 127
             ).astype(jnp.int8)
+        elif "enc-postq" in ablate:
+            # The pre-2026-08-19 ordering: concat the 17 f32 pieces first,
+            # quantize the [enc, R] block after (numerics identical to the
+            # shipped piecewise-quantize form; timing comparison point).
+            from nerf_workspaces_explorer_tpu.ops.pallas_render import (
+                _enc_dim, _sincos_poly,
+            )
+
+            p = o_ph[0:3] + z_row * d_ph[0:3]
+            s, c = _sincos_poly(p)
+            sin_rows, cos_rows = [s], [c]
+            for _ in range(kp.pts_freqs - 1):
+                s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+                sin_rows.append(s)
+                cos_rows.append(c)
+            rows = [p] + sin_rows + cos_rows
+            live = 3 + 6 * kp.pts_freqs
+            enc_dim = _enc_dim(kp.pts_freqs)
+            if enc_dim > live:
+                rows.append(jnp.zeros((enc_dim - live,) + p.shape[1:], p.dtype))
+            ft = jnp.concatenate(rows, axis=0)
+            feat = jnp.clip(
+                jnp.round(ft * kp.feat_qscale), -127, 127
+            ).astype(jnp.int8)
+        elif "enc-duo" in ablate:
+            # Pack TWO samples' 3 base rows into one 8-sublane block so the
+            # poly base + octave recurrence run at 6/8 vreg utilization
+            # (half the vector ops per sample); each sample's features are
+            # then sliced back out piecewise for its own trunk pass.
+            from nerf_workspaces_explorer_tpu.ops.pallas_render import (
+                _enc_dim, _sincos_poly,
+            )
+
+            if k % 2 == 0:
+                z0 = zd[2 * k : 2 * k + 1, :]
+                z1 = zd[2 * k + 2 : 2 * k + 3, :]
+                z_pair = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(z0, (3,) + z0.shape[1:]),
+                        jnp.broadcast_to(z1, (3,) + z1.shape[1:]),
+                    ],
+                    axis=0,
+                )
+                p2 = o_pair + z_pair * d_pair  # [6, R]
+                s, c = _sincos_poly(p2)
+                pieces = [p2]
+                sin_rows, cos_rows = [s], [c]
+                for _ in range(kp.pts_freqs - 1):
+                    s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+                    sin_rows.append(s)
+                    cos_rows.append(c)
+                pieces += sin_rows + cos_rows
+                enc_dim = _enc_dim(kp.pts_freqs)
+                pad = [
+                    jnp.zeros(
+                        (enc_dim - 3 * len(pieces),) + p2.shape[1:], jnp.int8
+                    )
+                ]
+
+                def q3(r):
+                    return jnp.clip(
+                        jnp.round(r * kp.feat_qscale), -127, 127
+                    ).astype(jnp.int8)
+
+                feat = jnp.concatenate([q3(r[0:3]) for r in pieces] + pad, 0)
+                duo_cache = jnp.concatenate(
+                    [q3(r[3:6]) for r in pieces] + pad, 0
+                )
+            else:
+                feat = duo_cache
+        elif "enc-stack" in ablate:
+            # Assemble the 17 pieces with stack+reshape instead of concat
+            # (Mosaic may lower the [17, 3, R] -> [51, R] merge as one
+            # relayout; numerics identical to the shipped form).
+            from nerf_workspaces_explorer_tpu.ops.pallas_render import (
+                _enc_dim, _sincos_poly,
+            )
+
+            p = o_ph[0:3] + z_row * d_ph[0:3]
+            s, c = _sincos_poly(p)
+            sin_rows, cos_rows = [s], [c]
+            for _ in range(kp.pts_freqs - 1):
+                s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+                sin_rows.append(s)
+                cos_rows.append(c)
+            rows = [p] + sin_rows + cos_rows
+            q = [
+                jnp.clip(jnp.round(r * kp.feat_qscale), -127, 127).astype(
+                    jnp.int8
+                )
+                for r in rows
+            ]
+            live = jnp.stack(q, axis=0).reshape(len(q) * 3, p.shape[-1])
+            enc_dim = _enc_dim(kp.pts_freqs)
+            feat = jnp.concatenate(
+                [live, jnp.zeros((enc_dim - live.shape[0], p.shape[-1]), jnp.int8)],
+                axis=0,
+            )
         elif "enc-noconcat" in ablate:
             # Recurrence chain kept live via a cheap piece-sum, but the trunk
             # consumes a cached feat: isolates the 3-row concat/relayout cost
@@ -337,6 +441,7 @@ def main() -> None:
     timed(f"full {args.samples}s sps={args.sps}", jax.jit(full), z)
     for ablate in (
         ("enc",), ("enc-direct",), ("enc-nobase",), ("enc-noconcat",),
+        ("enc-postq",), ("enc-stack",), ("enc-duo",),
     ):
         tag = "+".join(ablate)
 
