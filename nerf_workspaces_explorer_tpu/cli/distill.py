@@ -45,11 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--yaw-step", type=float, default=45.0)
     parser.add_argument("--view-scale", type=int, default=1,
                         help="divide the config H/W by this for teacher views")
-    # 64 serving importance samples: 20k-step gate passes at -0.45 dB vs
-    # the teacher's merged render (reports/quality_gate_turbo4x128_20k.md)
-    # and the 96 -> 64 step cuts the 640x480 int8 frame ~197 -> ~137 ms
-    # (reports/turbo_sample_probe.md).
-    parser.add_argument("--n-importance-serving", type=int, default=64,
+    # 48 serving importance samples: 20k-step gate passes at -0.63 dB vs
+    # the teacher's merged render, allowed 1.0, and ABOVE the 64-sample
+    # gate's PSNR (reports/quality_gate_turbo48_20k.md, _turbo4x128_20k.md);
+    # each 96 -> 64 -> 48 step cuts the fine pass proportionally
+    # (reports/turbo_sample_probe.md, turbo_arch_probe_48imp.md).
+    parser.add_argument("--n-importance-serving", type=int, default=48,
                         help="importance samples the turbo preset serves with")
     # Stride-4 coarse/importance lattice: 20k-step gate passes at -0.00 dB
     # vs exact placement (reports/quality_gate_subsample4_20k.md).

@@ -361,7 +361,7 @@ def save_turbo_checkpoint(
     student_params: Dict[str, Any],
     student_cfg: FrameworkConfig,
     *,
-    n_importance_serving: int = 64,
+    n_importance_serving: int = 48,
     proposal_subsample_serving: int = 4,
     report: Optional[Dict[str, Any]] = None,
     teacher: str = "",
@@ -373,7 +373,9 @@ def save_turbo_checkpoint(
     stride (RenderSettings.proposal_subsample) the student was quality-gated
     at; the turbo preset serves with it by default. Stride 4 passed the
     20k-step gate at -0.00 dB vs exact placement
-    (reports/quality_gate_subsample4_20k.md).
+    (reports/quality_gate_subsample4_20k.md); 48 importance samples passed
+    at -0.63 dB vs the teacher's merged render, allowed 1.0 — and above the
+    64-sample gate's PSNR (reports/quality_gate_turbo48_20k.md).
     """
     meta: Dict[str, Any] = {
         "turbo": True,

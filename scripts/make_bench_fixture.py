@@ -89,7 +89,7 @@ def train_one(name, use_proposal, steps, out_dir):
 
 
 def distill_turbo(steps, out_dir, *, depth=4, width=128, freqs=8,
-                  n_importance_serving=64, n_samples=None,
+                  n_importance_serving=48, n_samples=None,
                   proposal_subsample_serving=4):
     """Distill the proposal teacher fixture into the turbo sidecar
     bench.py times (NeRFRenderer preset='turbo')."""
@@ -158,7 +158,7 @@ def main():
     parser.add_argument("--turbo-n-samples", type=int, default=None,
                         help="uniform proposal-pass samples the student "
                         "trains and serves with")
-    parser.add_argument("--turbo-n-importance", type=int, default=64,
+    parser.add_argument("--turbo-n-importance", type=int, default=48,
                         help="importance samples the turbo preset serves")
     parser.add_argument("--turbo-prop-subsample", type=int, default=4,
                         help="coarse/importance ray-lattice stride the "

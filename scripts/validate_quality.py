@@ -316,7 +316,7 @@ def main() -> None:
     parser.add_argument("--turbo-width", type=int, default=128)
     parser.add_argument("--turbo-freqs", type=int, default=8)
     parser.add_argument(
-        "--turbo-n-importance", type=int, default=64,
+        "--turbo-n-importance", type=int, default=48,
         help="--turbo: importance samples the student serves with",
     )
     parser.add_argument(
