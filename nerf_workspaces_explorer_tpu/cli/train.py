@@ -36,6 +36,25 @@ def build_parser() -> argparse.ArgumentParser:
         help="synthetic scene view counts (sparse views overfit long runs)",
     )
     parser.add_argument(
+        "--scene", choices=("orbit", "room"), default="orbit",
+        help="--synthetic scene type: orbit (blob orbit, --synthetic-views "
+        "counts) or room (reference-scale interior walkthrough with the "
+        "reference's every-5th/+2 split rule — data/synthetic.py RoomScene)",
+    )
+    parser.add_argument(
+        "--room-frames", type=int, default=900,
+        help="--scene room: walkthrough trajectory frames (reference "
+        "Sequence_1 is ~900)",
+    )
+    parser.add_argument(
+        "--room-stride", type=int, default=5,
+        help="--scene room: train ids = every Nth frame (reference: 5)",
+    )
+    parser.add_argument(
+        "--scene-cache", type=str, default="/tmp/room_scene_cache",
+        help="--scene room: ground-truth render cache directory",
+    )
+    parser.add_argument(
         "--save-final", action="store_true",
         help="save a checkpoint at the final step into <save-dir>/checkpoints "
         "(the reference cadence fires at step%%20000==0 starting from 0, so a "
@@ -119,15 +138,39 @@ def main(argv=None) -> None:
 
     train_data = test_data = None
     if args.synthetic:
-        from nerf_workspaces_explorer_tpu.data import make_synthetic_scene
-
         size = args.synthetic_size
-        near, far = config.rendering.depth_range
-        n_train, n_test = args.synthetic_views
-        train_data, test_data, _ = make_synthetic_scene(
-            n_train=n_train, n_test=n_test, height=size * 3 // 4, width=size,
-            seed=args.seed, near=near, far=far,
-        )
+        if args.scene == "room":
+            import dataclasses
+
+            from nerf_workspaces_explorer_tpu.data.synthetic import (
+                make_room_scene_splits,
+            )
+
+            near, far = 0.1, 8.0
+            config = dataclasses.replace(
+                config,
+                rendering=dataclasses.replace(
+                    config.rendering, depth_range=(near, far)
+                ),
+            )
+            train_data, test_data, _ = make_room_scene_splits(
+                n_frames=args.room_frames, stride=args.room_stride,
+                height=size * 3 // 4, width=size, seed=7 + args.seed,
+                near=near, far=far, cache_dir=args.scene_cache,
+            )
+            print(
+                f"room scene: {len(train_data)} train / {len(test_data)} "
+                f"test views at {size}x{size * 3 // 4}"
+            )
+        else:
+            from nerf_workspaces_explorer_tpu.data import make_synthetic_scene
+
+            near, far = config.rendering.depth_range
+            n_train, n_test = args.synthetic_views
+            train_data, test_data, _ = make_synthetic_scene(
+                n_train=n_train, n_test=n_test, height=size * 3 // 4,
+                width=size, seed=args.seed, near=near, far=far,
+            )
 
     trainer = Trainer(
         office,

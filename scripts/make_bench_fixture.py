@@ -31,21 +31,40 @@ import numpy as np
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "..", "assets", "bench")
 
 
-def train_one(name, use_proposal, steps, out_dir):
+def build_scene(scene_kind, h, w):
+    """(train, test, depth_range, scene_tag) for either synthetic scene."""
+    if scene_kind == "room":
+        from nerf_workspaces_explorer_tpu.data.synthetic import (
+            make_room_scene_splits,
+        )
+
+        near, far = 0.1, 8.0
+        train, test, _ = make_room_scene_splits(
+            height=h, width=w, near=near, far=far,
+            cache_dir="/tmp/room_scene_cache",
+        )
+        return train, test, (near, far), f"room-{h}x{w}"
+    from nerf_workspaces_explorer_tpu.data import make_synthetic_scene
+
+    train, test, _ = make_synthetic_scene(n_train=12, n_test=3, height=h, width=w)
+    return train, test, (0.1, 6.0), f"synthetic-{h}x{w}"
+
+
+def train_one(name, use_proposal, steps, out_dir, scene_kind="orbit"):
     from nerf_workspaces_explorer_tpu.core.config import (
         ExperimentConfig,
         FrameworkConfig,
         LoggingConfig,
         RenderingConfig,
     )
-    from nerf_workspaces_explorer_tpu.data import make_synthetic_scene
     from nerf_workspaces_explorer_tpu.infer.checkpoint import save_checkpoint
     from nerf_workspaces_explorer_tpu.train import Trainer
 
     h, w = 96, 128
+    train, test, depth_range, scene_tag = build_scene(scene_kind, h, w)
     cfg = FrameworkConfig(
         experiment=ExperimentConfig(image_width=w, image_height=h),
-        rendering=RenderingConfig(depth_range=(0.1, 6.0)),
+        rendering=RenderingConfig(depth_range=depth_range),
         logging=LoggingConfig(
             step_log_print=0,
             step_log_tensorboard=2**31 - 1,
@@ -54,7 +73,6 @@ def train_one(name, use_proposal, steps, out_dir):
             step_render_train=0,
         ),
     )
-    train, test, _ = make_synthetic_scene(n_train=12, n_test=3, height=h, width=w)
     trainer = Trainer(
         f"bench_fixture_{name}",
         cfg,
@@ -79,8 +97,8 @@ def train_one(name, use_proposal, steps, out_dir):
         trainer.params,
         step=steps,
         metadata={
-            "scene": "synthetic-96x128",
-            "depth_range": [0.1, 6.0],
+            "scene": scene_tag,
+            "depth_range": list(depth_range),
             "use_proposal": bool(use_proposal),
         },
     )
@@ -90,7 +108,7 @@ def train_one(name, use_proposal, steps, out_dir):
 
 def distill_turbo(steps, out_dir, *, depth=4, width=128, freqs=8,
                   n_importance_serving=48, n_samples=None,
-                  proposal_subsample_serving=4):
+                  proposal_subsample_serving=4, scene_kind="orbit"):
     """Distill the proposal teacher fixture into the turbo sidecar
     bench.py times (NeRFRenderer preset='turbo')."""
     from nerf_workspaces_explorer_tpu.core.config import (
@@ -98,7 +116,6 @@ def distill_turbo(steps, out_dir, *, depth=4, width=128, freqs=8,
         FrameworkConfig,
         RenderingConfig,
     )
-    from nerf_workspaces_explorer_tpu.data import make_synthetic_scene
     from nerf_workspaces_explorer_tpu.infer.checkpoint import load_checkpoint
     from nerf_workspaces_explorer_tpu.infer.renderer import (
         settings_from_config,
@@ -113,20 +130,34 @@ def distill_turbo(steps, out_dir, *, depth=4, width=128, freqs=8,
     teacher_path = os.path.join(out_dir, "synth_proposal.npz")
     teacher_params, _, _, _ = load_checkpoint(teacher_path)
     h, w = 96, 128
+    train, test, depth_range, _ = build_scene(scene_kind, h, w)
     cfg = FrameworkConfig(
         experiment=ExperimentConfig(image_width=w, image_height=h),
-        rendering=RenderingConfig(depth_range=(0.1, 6.0)),
+        rendering=RenderingConfig(depth_range=depth_range),
     )
-    train, test, _ = make_synthetic_scene(n_train=12, n_test=3, height=h, width=w)
-    poses = np.concatenate([train.camera_pose, test.camera_pose], axis=0)
+    if scene_kind == "room":
+        # Distill on the walkthrough tour; hold out an off-tour probe grid
+        # (the hardened gate geometry, validate_quality.py --scene room).
+        from nerf_workspaces_explorer_tpu.data.synthetic import (
+            room_grid_poses,
+            room_scene,
+        )
+
+        grid = room_grid_poses(half=np.asarray(room_scene().half))
+        poses = np.concatenate([train.camera_pose, grid], axis=0)
+        n_holdout = len(grid)
+    else:
+        poses = np.concatenate([train.camera_pose, test.camera_pose], axis=0)
+        n_holdout = 3
+    near, far = depth_range
     student_params, student_cfg, report = distill_student(
         teacher_params,
         spec_from_config(cfg),
         settings_from_config(cfg).for_eval()._replace(use_proposal=True),
         poses,
-        height=h, width=w, near=0.1, far=6.0, steps=steps,
+        height=h, width=w, near=near, far=far, steps=steps,
         depth=depth, net_width=width, num_freqs_3d=freqs,
-        n_holdout=3, name="bench_turbo", n_samples=n_samples,
+        n_holdout=n_holdout, name="bench_turbo", n_samples=n_samples,
     )
     sidecar = turbo_sidecar_path(teacher_path)
     save_turbo_checkpoint(
@@ -164,18 +195,23 @@ def main():
                         help="coarse/importance ray-lattice stride the "
                         "turbo preset serves with (stride 4 gated at "
                         "-0.00 dB, reports/quality_gate_subsample4_20k.md)")
+    parser.add_argument("--scene", choices=("orbit", "room"), default="orbit",
+                        help="training scene: orbit (legacy 12-view blob "
+                        "orbit) or room (reference-scale interior "
+                        "walkthrough, data/synthetic.py RoomScene)")
     args = parser.parse_args()
     out = os.path.abspath(args.out)
     os.makedirs(out, exist_ok=True)
     if not args.skip_teachers:
-        train_one("proposal", True, args.steps, out)
-        train_one("hier", False, args.steps, out)
+        train_one("proposal", True, args.steps, out, scene_kind=args.scene)
+        train_one("hier", False, args.steps, out, scene_kind=args.scene)
     distill_turbo(
         args.turbo_steps or args.steps, out,
         depth=args.turbo_depth, width=args.turbo_width,
         freqs=args.turbo_freqs, n_samples=args.turbo_n_samples,
         n_importance_serving=args.turbo_n_importance,
         proposal_subsample_serving=args.turbo_prop_subsample,
+        scene_kind=args.scene,
     )
 
 

@@ -88,8 +88,9 @@ def run_leg(name, use_proposal, train, test, cfg, args):
         psnrs.append(-10 * np.log10(mse))
         ssims.append(ssim(rgb, gt))
     psnr = float(np.mean(psnrs))
-    print(f"[{name}] TEST fused-kernel renders: PSNR {psnr:.2f} dB, "
-          f"SSIM {np.mean(ssims):.4f}")
+    print(f"[{name}] TEST fused-kernel renders ({len(test)} views): "
+          f"PSNR {psnr:.2f} dB (min {np.min(psnrs):.2f}), "
+          f"SSIM {np.mean(ssims):.4f} (min {np.min(ssims):.4f})")
 
     try:
         import imageio
@@ -165,7 +166,9 @@ def run_leg(name, use_proposal, train, test, cfg, args):
                 )
     return {
         "psnr": psnr,
+        "psnr_min": float(np.min(psnrs)),
         "ssim": float(np.mean(ssims)),
+        "ssim_min": float(np.min(ssims)),
         "fidelity": fidelity,
         "fidelity_int8": fidelity_int8,
         "fast": fast,
@@ -173,43 +176,59 @@ def run_leg(name, use_proposal, train, test, cfg, args):
     }
 
 
-def run_turbo_leg(leg, leg_name, train, test, args):
+def run_turbo_leg(leg, leg_name, train, test, args, scene_ctx):
     """Distill the leg's trained model into a narrow turbo student and
-    measure the student against the REAL ground truth on the held-out test
-    views at the serving configuration (proposal placement, importance-only,
-    --turbo-n-importance samples). Gate: main()."""
+    measure it against REAL ground truth at the serving configuration.
+
+    Gate views (round-3 VERDICT item 5): with --scene room the student is
+    judged on the held-out probe GRID (positions x rotated headings over
+    the floor extent, deliberately off the distillation tour) with per-view
+    minima, and the TEACHER renders the same views so teacher >= student
+    ordering is checked — a gate that cannot rank teacher above student
+    cannot detect student degradation. With --scene orbit the legacy
+    held-out test views are used."""
     from nerf_workspaces_explorer_tpu.infer.renderer import settings_from_config
     from nerf_workspaces_explorer_tpu.models.encoding import embedding_output_dim
     from nerf_workspaces_explorer_tpu.models.mlp import NerfMLPSpec
     from nerf_workspaces_explorer_tpu.train.distill import (
         distill_student,
         render_student_views,
+        render_teacher_views,
     )
     from nerf_workspaces_explorer_tpu.utils.metrics import ssim
 
     tr = leg["trainer"]
     h, w = args.height, args.width
-    # Teacher views: the train poses PLUS extra orbit rings at offset
-    # angles/radii/heights (the teacher checkpoint renders anywhere — the
-    # dataset-free distillation premise, train/distill.py) so the student
-    # generalizes instead of memorizing the 12 train frusta. Test poses go
-    # last and are held out — the student never trains on a test view.
-    from nerf_workspaces_explorer_tpu.data.synthetic import orbit_poses
+    near, far = scene_ctx["near"], scene_ctx["far"]
+    if scene_ctx.get("grid_poses") is not None:
+        # Room scene: distill on the walkthrough tour; hold out the probe
+        # grid entirely (the student never trains on a gate view).
+        gate_poses = scene_ctx["grid_poses"]
+        gate_gt = scene_ctx["grid_gt"]
+        poses = np.concatenate([train.camera_pose, gate_poses], axis=0)
+        gate_tag = f"probe grid ({len(gate_poses)} views)"
+    else:
+        # Orbit scene (legacy): train poses + extra rings; test views held
+        # out and used as the gate views.
+        from nerf_workspaces_explorer_tpu.data.synthetic import orbit_poses
 
-    extra = np.concatenate([
-        orbit_poses(10, radius=2.3, height=0.3),
-        orbit_poses(10, radius=2.6, height=0.55),
-        orbit_poses(10, radius=2.45, height=0.75),
-    ], axis=0)
-    poses = np.concatenate(
-        [train.camera_pose, extra, test.camera_pose], axis=0
-    )
+        extra = np.concatenate([
+            orbit_poses(10, radius=2.3, height=0.3),
+            orbit_poses(10, radius=2.6, height=0.55),
+            orbit_poses(10, radius=2.45, height=0.75),
+        ], axis=0)
+        gate_poses = test.camera_pose
+        gate_gt = test.rgb
+        poses = np.concatenate(
+            [train.camera_pose, extra, test.camera_pose], axis=0
+        )
+        gate_tag = f"test views ({len(gate_poses)})"
     student_params, student_cfg, dreport = distill_student(
         tr.params, tr._spec, tr._settings, poses,
-        height=h, width=w, near=0.1, far=6.0,
+        height=h, width=w, near=near, far=far,
         steps=args.turbo_steps, depth=args.turbo_depth,
         net_width=args.turbo_width, num_freqs_3d=args.turbo_freqs,
-        n_holdout=len(test), name=f"turbo_{leg_name}",
+        n_holdout=len(gate_poses), name=f"turbo_{leg_name}",
         n_samples=args.turbo_n_samples,
     )
     print(
@@ -229,42 +248,61 @@ def run_turbo_leg(leg, leg_name, train, test, args):
         use_proposal=True, merge_coarse=False,
         n_importance=args.turbo_n_importance,
     )
+
+    def stats(frames):
+        psnrs = np.array([
+            -10 * np.log10(float(np.mean((frames[i] - gate_gt[i]) ** 2)))
+            for i in range(len(gate_poses))
+        ])
+        ssims = np.array(
+            [ssim(frames[i], gate_gt[i]) for i in range(len(gate_poses))]
+        )
+        return psnrs, ssims
+
     rgb = render_student_views(
-        student_params, spec, settings, test.camera_pose, h, w,
-        near=0.1, far=6.0,
+        student_params, spec, settings, gate_poses, h, w, near=near, far=far,
     )
-    psnrs = [
-        -10 * np.log10(float(np.mean((rgb[i] - test.rgb[i]) ** 2)))
-        for i in range(len(test))
-    ]
-    ssims = [ssim(rgb[i], test.rgb[i]) for i in range(len(test))]
+    psnrs, ssims = stats(rgb)
+    # Teacher renders of the SAME gate views (merged placement — the
+    # teacher's own serving quality) for the ordering check.
+    teacher_rgb = render_teacher_views(
+        tr.params, tr._spec, tr._settings, gate_poses, h, w,
+        near=near, far=far,
+    )
+    t_psnrs, t_ssims = stats(teacher_rgb)
     out = {
         "psnr": float(np.mean(psnrs)),
+        "psnr_min": float(np.min(psnrs)),
         "ssim": float(np.mean(ssims)),
+        "ssim_min": float(np.min(ssims)),
+        "teacher_psnr": float(np.mean(t_psnrs)),
+        "teacher_psnr_min": float(np.min(t_psnrs)),
+        "teacher_ssim": float(np.mean(t_ssims)),
         "psnr_vs_teacher": float(dreport["psnr_vs_teacher"]),
+        "gate_tag": gate_tag,
     }
     print(
-        f"[turbo] TEST vs ground truth (serving config, "
-        f"n_importance={args.turbo_n_importance}): PSNR {out['psnr']:.2f} dB "
-        f"(teacher merged {leg['psnr']:.2f}), SSIM {out['ssim']:.4f}"
+        f"[turbo] {gate_tag} vs ground truth (serving config, "
+        f"n_importance={args.turbo_n_importance}): student PSNR "
+        f"{out['psnr']:.2f} dB (min {out['psnr_min']:.2f}), SSIM "
+        f"{out['ssim']:.4f} (min {out['ssim_min']:.4f}); teacher PSNR "
+        f"{out['teacher_psnr']:.2f} dB (min {out['teacher_psnr_min']:.2f})"
     )
     if args.prop_subsample > 1:
         rgb_sub = render_student_views(
             student_params, spec,
             settings._replace(proposal_subsample=args.prop_subsample),
-            test.camera_pose, h, w, near=0.1, far=6.0,
+            gate_poses, h, w, near=near, far=far,
         )
-        out["psnr_sub"] = float(np.mean([
-            -10 * np.log10(float(np.mean((rgb_sub[i] - test.rgb[i]) ** 2)))
-            for i in range(len(test))
-        ]))
-        out["ssim_sub"] = float(np.mean(
-            [ssim(rgb_sub[i], test.rgb[i]) for i in range(len(test))]
-        ))
+        s_psnrs, s_ssims = stats(rgb_sub)
+        out["psnr_sub"] = float(np.mean(s_psnrs))
+        out["psnr_sub_min"] = float(np.min(s_psnrs))
+        out["ssim_sub"] = float(np.mean(s_ssims))
         print(
-            f"[turbo] TEST vs ground truth (serving config, prop_subsample="
-            f"{args.prop_subsample}): PSNR {out['psnr_sub']:.2f} dB "
-            f"(exact placement {out['psnr']:.2f}), SSIM {out['ssim_sub']:.4f}"
+            f"[turbo] {gate_tag} vs ground truth (serving config, "
+            f"prop_subsample={args.prop_subsample}): PSNR "
+            f"{out['psnr_sub']:.2f} dB (exact placement {out['psnr']:.2f}), "
+            f"SSIM {out['ssim_sub']:.4f}"
         )
     return out
 
@@ -344,6 +382,41 @@ def main() -> None:
         help="also write the measured table as a markdown report "
              "(e.g. reports/quality_gate_20k.md)",
     )
+    parser.add_argument(
+        "--scene", choices=("orbit", "room"), default="orbit",
+        help="orbit: the legacy 12-view blob orbit; room: the "
+             "reference-scale interior walkthrough (~180 train views, "
+             "reference split rule — data/synthetic.py RoomScene)",
+    )
+    parser.add_argument(
+        "--room-frames", type=int, default=900,
+        help="--scene room: walkthrough trajectory length (reference "
+             "Sequence_1 is ~900 frames)",
+    )
+    parser.add_argument(
+        "--room-stride", type=int, default=5,
+        help="--scene room: train ids = every Nth frame (reference: 5)",
+    )
+    parser.add_argument(
+        "--eval-views", type=int, default=0,
+        help="evenly subsample the test split to N views for eval renders "
+             "(0 = all; training always sees the full train split)",
+    )
+    parser.add_argument(
+        "--grid", type=int, default=3,
+        help="--scene room + --turbo: probe-grid positions per axis for "
+             "the held-out distillation gate (x 4 yaw headings)",
+    )
+    parser.add_argument(
+        "--cache-dir", type=str, default="/tmp/room_scene_cache",
+        help="--scene room: ground-truth render cache directory",
+    )
+    parser.add_argument(
+        "--max-turbo-over-teacher", type=float, default=0.3,
+        help="--turbo: fail if the student BEATS its teacher by more than "
+             "this on the gate views (dB) — a gate that ranks the student "
+             "above the teacher on held-out views is insensitive",
+    )
     args = parser.parse_args()
 
     from nerf_workspaces_explorer_tpu.core.config import (
@@ -355,9 +428,49 @@ def main() -> None:
     from nerf_workspaces_explorer_tpu.data import make_synthetic_scene
 
     h, w = args.height, args.width
+    if args.scene == "room":
+        from nerf_workspaces_explorer_tpu.data.synthetic import (
+            make_room_scene_splits,
+            render_room_ground_truth,
+            room_grid_poses,
+        )
+
+        near, far = 0.1, 8.0
+        train, test, scene = make_room_scene_splits(
+            n_frames=args.room_frames, stride=args.room_stride,
+            height=h, width=w, near=near, far=far,
+            cache_dir=args.cache_dir,
+        )
+        print(
+            f"scene: room walkthrough, {len(train)} train / {len(test)} "
+            f"test views at {w}x{h}", flush=True,
+        )
+        scene_ctx = {"near": near, "far": far}
+        if args.turbo:
+            grid_poses = room_grid_poses(
+                half=np.asarray(scene.half), grid=args.grid
+            )
+            grid_gt, _ = render_room_ground_truth(
+                scene, grid_poses, h, w, near=near, far=far
+            )
+            scene_ctx["grid_poses"] = grid_poses
+            scene_ctx["grid_gt"] = grid_gt
+    else:
+        near, far = 0.1, 6.0
+        train, test, _ = make_synthetic_scene(
+            n_train=12, n_test=3, height=h, width=w
+        )
+        scene_ctx = {"near": near, "far": far}
+    if args.eval_views > 0 and args.eval_views < len(test):
+        ids = np.linspace(0, len(test) - 1, args.eval_views).astype(int)
+        test = type(test)(
+            rgb=test.rgb[ids], depth=test.depth[ids],
+            camera_pose=test.camera_pose[ids],
+        )
+        print(f"eval subsampled to {len(test)} test views", flush=True)
     cfg = FrameworkConfig(
         experiment=ExperimentConfig(image_width=w, image_height=h),
-        rendering=RenderingConfig(depth_range=(0.1, 6.0)),
+        rendering=RenderingConfig(depth_range=(near, far)),
         logging=LoggingConfig(
             step_log_print=0,
             step_log_tensorboard=2**31 - 1,
@@ -366,7 +479,6 @@ def main() -> None:
             step_render_train=0,
         ),
     )
-    train, test, _ = make_synthetic_scene(n_train=12, n_test=3, height=h, width=w)
     os.makedirs(args.out, exist_ok=True)
 
     hier = run_leg("hier", False, train, test, cfg, args)
@@ -376,7 +488,9 @@ def main() -> None:
         teacher_leg, teacher_name = (
             (prop, "prop") if prop is not None else (hier, "hier")
         )
-        turbo = run_turbo_leg(teacher_leg, teacher_name, train, test, args)
+        turbo = run_turbo_leg(
+            teacher_leg, teacher_name, train, test, args, scene_ctx
+        )
 
     failures = []
     if hier["psnr"] < args.min_psnr:
@@ -441,18 +555,27 @@ def main() -> None:
                     f"{args.max_subsample_psnr_drop} vs exact placement"
                 )
     if turbo is not None:
-        teacher = prop if prop is not None else hier
-        drop = teacher["psnr"] - turbo["psnr"]
+        # Same-view comparison: the teacher rendered the SAME gate views
+        # (probe grid for --scene room), so the drop is apples-to-apples.
+        drop = turbo["teacher_psnr"] - turbo["psnr"]
         print(
             f"turbo gate [{args.turbo_depth}x{args.turbo_width}@"
-            f"{args.turbo_freqs}f, n_importance={args.turbo_n_importance}]: "
-            f"PSNR drop {drop:+.2f} dB vs teacher merged "
-            f"(allowed {args.max_turbo_psnr_drop})"
+            f"{args.turbo_freqs}f, n_importance={args.turbo_n_importance}, "
+            f"{turbo['gate_tag']}]: PSNR drop {drop:+.2f} dB vs teacher on "
+            f"the gate views (allowed {args.max_turbo_psnr_drop}; "
+            f"student-above-teacher allowed {args.max_turbo_over_teacher})"
         )
         if drop > args.max_turbo_psnr_drop:
             failures.append(
                 f"turbo student loses {drop:.2f} dB > allowed "
-                f"{args.max_turbo_psnr_drop} vs its teacher's merged render"
+                f"{args.max_turbo_psnr_drop} vs its teacher on the gate views"
+            )
+        if -drop > args.max_turbo_over_teacher:
+            failures.append(
+                f"turbo student BEATS its teacher by {-drop:.2f} dB > "
+                f"{args.max_turbo_over_teacher} on held-out gate views — "
+                "the gate is not ranking teacher above student "
+                "(insensitive; round-3 VERDICT weak item 3)"
             )
         if args.prop_subsample > 1 and "psnr_sub" in turbo:
             sub_drop = turbo["psnr"] - turbo["psnr_sub"]
@@ -470,10 +593,18 @@ def main() -> None:
     if args.report:
         os.makedirs(os.path.dirname(os.path.abspath(args.report)), exist_ok=True)
         with open(args.report, "w") as f:
+            scene_desc = (
+                f"room walkthrough (reference regime: every "
+                f"{args.room_stride}th of {args.room_frames} frames -> "
+                f"{len(train)} train / {len(test)} eval test views)"
+                if args.scene == "room"
+                else "blob orbit, 12 train / 3 test views"
+            )
             f.write(
                 f"# Serving quality gate at {args.steps} steps\n\n"
                 f"Command: `python scripts/validate_quality.py --steps "
                 f"{args.steps}"
+                + (f" --scene {args.scene}" if args.scene != "orbit" else "")
                 + (" --proposal" if args.proposal else "")
                 + (" --fast-preset" if args.fast_preset else "")
                 + (" --turbo" if args.turbo else "")
@@ -481,45 +612,60 @@ def main() -> None:
                     f" --prop-subsample {args.prop_subsample}"
                     if args.prop_subsample > 1 else ""
                 )
-                + f"`. Scene: {args.height}x{args.width} synthetic, 12 train"
-                " / 3 test views; shipped office model config. Test renders"
-                " use the fused Pallas kernel (the serving path).\n\n"
-                "| leg | config | test PSNR (dB) | SSIM | fused-vs-jnp SSIM"
-                " | int8-vs-jnp SSIM |\n|---|---|---|---|---|---|\n"
+                + (
+                    f" --eval-views {args.eval_views}"
+                    if args.eval_views > 0 else ""
+                )
+                + f"`. Scene: {args.height}x{args.width} {scene_desc}; "
+                "shipped office model config. Test renders use the fused "
+                "Pallas kernel (the serving path).\n\n"
+                "| leg | config | test PSNR (dB) | min | SSIM | min "
+                "| fused-vs-jnp SSIM | int8-vs-jnp SSIM |\n"
+                "|---|---|---|---|---|---|---|---|\n"
             )
             for leg_name, leg in (("hier", hier), ("prop", prop)):
                 if leg is None:
                     continue
                 f.write(
                     f"| {leg_name} | merged placement | {leg['psnr']:.2f} "
-                    f"| {leg['ssim']:.4f} | {leg['fidelity']:.5f} "
+                    f"| {leg['psnr_min']:.2f} | {leg['ssim']:.4f} "
+                    f"| {leg['ssim_min']:.4f} | {leg['fidelity']:.5f} "
                     f"| {leg['fidelity_int8']:.5f} |\n"
                 )
                 for n_imp, row in sorted(leg["fast"].items(), reverse=True):
                     f.write(
                         f"| {leg_name} | fast preset, int8, "
                         f"n_importance={n_imp} | {row['psnr']:.2f} "
-                        f"| {row['ssim']:.4f} | — | — |\n"
+                        f"| — | {row['ssim']:.4f} | — | — | — |\n"
                     )
                     if "psnr_sub" in row:
                         f.write(
                             f"| {leg_name} | fast preset, int8, "
                             f"n_importance={n_imp}, prop_subsample="
                             f"{args.prop_subsample} | {row['psnr_sub']:.2f} "
-                            f"| {row['ssim_sub']:.4f} | — | — |\n"
+                            f"| — | {row['ssim_sub']:.4f} | — | — | — |\n"
                         )
             if turbo is not None:
                 f.write(
                     f"| turbo | distilled {args.turbo_depth}x"
                     f"{args.turbo_width}@{args.turbo_freqs}f student, "
-                    f"n_importance={args.turbo_n_importance} "
-                    f"| {turbo['psnr']:.2f} | {turbo['ssim']:.4f} | — | — |\n"
+                    f"n_importance={args.turbo_n_importance}, "
+                    f"{turbo['gate_tag']} | {turbo['psnr']:.2f} "
+                    f"| {turbo['psnr_min']:.2f} | {turbo['ssim']:.4f} "
+                    f"| {turbo['ssim_min']:.4f} | — | — |\n"
+                )
+                f.write(
+                    f"| turbo | TEACHER on the same gate views (merged "
+                    f"placement) | {turbo['teacher_psnr']:.2f} "
+                    f"| {turbo['teacher_psnr_min']:.2f} "
+                    f"| {turbo['teacher_ssim']:.4f} | — | — | — |\n"
                 )
                 if "psnr_sub" in turbo:
                     f.write(
                         f"| turbo | same student, prop_subsample="
                         f"{args.prop_subsample} | {turbo['psnr_sub']:.2f} "
-                        f"| {turbo['ssim_sub']:.4f} | — | — |\n"
+                        f"| {turbo['psnr_sub_min']:.2f} "
+                        f"| {turbo['ssim_sub']:.4f} | — | — | — |\n"
                     )
             f.write(
                 "\nResult: "

@@ -141,6 +141,51 @@ def test_synthetic_scene_generation():
     np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-5)
 
 
+def test_room_scene_splits_reference_regime(tmp_path):
+    """The reference-scale room scene follows the reference's exact split
+    rule (train = every `stride`th walkthrough frame, test = train + 2 —
+    replica_dataset.py:42-43) and keeps the camera path clear of geometry."""
+    from nerf_workspaces_explorer_tpu.data.synthetic import (
+        make_room_scene_splits,
+        room_grid_poses,
+        walkthrough_poses,
+    )
+
+    train, test, scene = make_room_scene_splits(
+        n_frames=40, stride=10, height=12, width=16,
+        cache_dir=str(tmp_path), gt_samples=64,
+    )
+    assert train.rgb.shape == (4, 12, 16, 3)
+    assert test.rgb.shape == (4, 12, 16, 3)
+    all_poses = walkthrough_poses(40, half=np.asarray(scene.half))
+    np.testing.assert_allclose(train.camera_pose, all_poses[[0, 10, 20, 30]])
+    np.testing.assert_allclose(test.camera_pose, all_poses[[2, 12, 22, 32]])
+    # Interior views with real content everywhere (not blank walls).
+    assert all(train.rgb[i].std() > 0.02 for i in range(4))
+    assert np.all(np.isfinite(train.rgb)) and np.all(np.isfinite(test.rgb))
+    # Rotations are valid; eyes stay inside the room.
+    for pose in train.camera_pose:
+        rot = pose[:3, :3]
+        np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-5)
+        assert np.all(np.abs(pose[:3, 3]) < np.asarray(scene.half))
+    # Depth never collapses to the near plane (camera inside an object).
+    assert float(train.depth.min()) > 0.12
+    # Cache roundtrip: a second call serves identical arrays from disk.
+    train2, test2, _ = make_room_scene_splits(
+        n_frames=40, stride=10, height=12, width=16,
+        cache_dir=str(tmp_path), gt_samples=64,
+    )
+    np.testing.assert_array_equal(train.rgb, train2.rgb)
+    np.testing.assert_array_equal(test.depth, test2.depth)
+    # Held-out probe grid for distillation gating: inside the room, valid.
+    grid = room_grid_poses(half=np.asarray(scene.half), grid=2, yaws=(0, 180))
+    assert grid.shape == (8, 4, 4)
+    for pose in grid:
+        rot = pose[:3, :3]
+        np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-5)
+        assert np.all(np.abs(pose[:3, 3]) < np.asarray(scene.half))
+
+
 def test_depth2rgb():
     depth = np.linspace(0.1, 10.0, 64).reshape(8, 8)
     rgb = depth2rgb(depth, min_value=0.1, max_value=10.0)

@@ -57,6 +57,24 @@ def small_config(**rendering_overrides) -> FrameworkConfig:
     )
 
 
+def test_next_run_dir_survives_deleted_runs(tmp_path):
+    # The reference numbers runs by len(os.listdir)+1
+    # (…training_handler.py:33-40), which collides after a deleted run.
+    # Ours is max(existing)+1 with exclusive creation.
+    from nerf_workspaces_explorer_tpu.train.loop import _next_run_dir
+
+    base = str(tmp_path / "office_tokyo")
+    assert _next_run_dir(base).endswith(os.sep + "1")
+    assert _next_run_dir(base).endswith(os.sep + "2")
+    assert _next_run_dir(base).endswith(os.sep + "3")
+    os.rmdir(os.path.join(base, "2"))  # delete a middle run
+    # len(listdir)+1 would now collide with the existing "3"; max+1 must not.
+    assert _next_run_dir(base).endswith(os.sep + "4")
+    # Non-numeric entries (e.g. stray files) are ignored, not crashed on.
+    open(os.path.join(base, "notes.txt"), "w").close()
+    assert _next_run_dir(base).endswith(os.sep + "5")
+
+
 def test_lr_schedule_matches_reference_decay():
     # Reference: lr * 0.1^(step/50000), continuous (…training_handler.py:312-315).
     opt = make_optimizer(5e-4, 0.1, 50_000.0)
@@ -206,6 +224,24 @@ def test_train_cli_synthetic_with_export(tmp_path, monkeypatch):
         "--export-final",
     ])
     assert os.path.exists(tmp_path / "final_models" / "office_tokyo" / "model.npz")
+
+
+def test_train_cli_room_scene(tmp_path, monkeypatch):
+    """--scene room drives the reference-scale walkthrough scene through
+    the CLI (reference split rule; depth range switched to the room's)."""
+    monkeypatch.chdir(tmp_path)
+    from nerf_workspaces_explorer_tpu.cli.train import main as train_main
+
+    train_main([
+        "--office", "tokyo", "--synthetic", "--scene", "room",
+        "--synthetic-size", "16", "--room-frames", "20", "--room-stride", "10",
+        "--iterations", "2", "--save-dir", str(tmp_path / "run_room"),
+        "--scene-cache", str(tmp_path / "scene_cache"),
+    ])
+    # The GT cache was written (reused by later runs on the same scene).
+    assert any(
+        name.startswith("room_") for name in os.listdir(tmp_path / "scene_cache")
+    )
 
 
 def test_train_cli_steps_per_call(tmp_path, monkeypatch):
