@@ -17,10 +17,14 @@ def main() -> None:
         help="GUI toolkit (auto: PyQt5 if installed, else tkinter)",
     )
     parser.add_argument(
-        "--precision", choices=("parity", "fast", "int8"), default="fast",
+        "--precision", choices=("parity", "fast", "int8", "int8-trunk"),
+        default="fast",
         help="render precision: parity (fp32, reference-identical), fast "
-        "(bf16 MXU), int8 (full-int8 fused kernels, the benchmarked "
-        "serving mode; TPU only, quality-gated at SSIM >= 0.99)",
+        "(bf16 MXU; 320x240 reference-parity SSIM 0.995), int8-trunk "
+        "(int8 trunk matmuls, bf16 heads), int8 (full-int8 fused kernels "
+        "— fastest, but measured 0.986 SSIM vs the reference's own "
+        "320x240 render, below the 0.99 gate: an opt-in speed mode; "
+        "reports/reference_parity_320x240.md). int8* modes are TPU only",
     )
     parser.add_argument(
         "--preset", choices=("reference", "fast", "turbo"), default="reference",

@@ -33,7 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--out", type=str, default="renders")
     parser.add_argument(
         "--precision", type=str, default="parity",
-        choices=("parity", "fast", "int8"),
+        choices=("parity", "fast", "int8", "int8-trunk"),
     )
     parser.add_argument(
         "--preset", type=str, default="reference",

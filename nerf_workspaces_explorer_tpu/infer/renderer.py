@@ -219,10 +219,10 @@ class NeRFRenderer:
             use_pallas = (
                 jax.devices()[0].platform == "tpu" and precision != "parity"
             )
-        if precision == "int8" and not use_pallas:
+        if precision in ("int8", "int8-trunk") and not use_pallas:
             raise ValueError(
-                "precision='int8' runs the int8 trunk inside the fused "
-                "Pallas kernel; it requires use_pallas=True"
+                f"precision={precision!r} runs the int8 trunk inside the "
+                "fused Pallas kernel; it requires use_pallas=True"
             )
         self._use_pallas = use_pallas
         self._quant = None
@@ -416,14 +416,20 @@ class NeRFRenderer:
         )
 
     def _build_render_fn(self) -> None:
-        if self._precision == "int8":
+        if self._precision in ("int8", "int8-trunk"):
             # Static int8 calibration runs once, eagerly, on the concrete
             # weights; the resulting scales bake into the kernel compile.
+            # "int8-trunk" quantizes only the trunk matmuls (~80% of the
+            # fine-pass MACs) and keeps the fa/view/rgb heads bf16 — the
+            # higher-fidelity tier when full int8 misses the 0.99 SSIM
+            # reference-parity gate (reports/reference_parity_320x240.md).
             from nerf_workspaces_explorer_tpu.ops.quantize import (
                 calibrate_model_quant,
             )
 
-            self._quant = calibrate_model_quant(self._params, self._spec)
+            self._quant = calibrate_model_quant(
+                self._params, self._spec, heads=self._precision == "int8"
+            )
         # Weights (and so int8 calibration) may have changed: drop every
         # jit built against the previous state.
         self._render_batch_jit = None
@@ -713,7 +719,11 @@ class NeRFRenderer:
         use_pallas, eps = self._use_pallas, self._early_stop_eps
         has_coarse = "coarse" in self._params
         proposal_preview = not has_coarse and settings.use_proposal
-        full_quant = self._quant if self._precision == "int8" else None
+        full_quant = (
+            self._quant
+            if self._precision in ("int8", "int8-trunk")
+            else None
+        )
         net = "coarse" if has_coarse else "fine"
         net_quant = (full_quant or {}).get(net)
         from nerf_workspaces_explorer_tpu.ops.pallas_render import (
