@@ -111,6 +111,154 @@ def _time_renderer(renderer, pose) -> float:
     return (time.perf_counter() - start) / TIMED_FRAMES * 1000.0
 
 
+def _device_ms(renderer, pose, n: int = 10) -> float:
+    """Whole-frame DEVICE time: enqueue `n` scalar-reduced frames, then one
+    float() fetch to drain the in-order queue (CLAUDE.md timing protocol —
+    through the axon tunnel `block_until_ready` acks enqueue, and the uint8
+    frame fetch costs ~30 ms that is tunnel transfer, not device work).
+    This is the number MFU should be judged against; headline_ms - device_ms
+    is dispatch + fetch overhead the tunnel adds (round-3 VERDICT item 3)."""
+    import jax.numpy as jnp
+
+    body = renderer._frozen_batch_body()
+    pose_j = jnp.asarray(pose, dtype=jnp.float32)
+
+    @jax.jit
+    def frame_device(p, c2w):
+        return body(p, c2w[None]).sum()
+
+    float(frame_device(renderer._params, pose_j))  # compile + drain
+    start = time.perf_counter()
+    out = None
+    for _ in range(n):
+        out = frame_device(renderer._params, pose_j)
+    float(out)
+    return (time.perf_counter() - start) / n * 1000.0
+
+
+def _turbo_stage_split(sidecar: str, depth_range) -> dict:
+    """Per-stage device-time split of the turbo frame at the benchmarked
+    config (proposal coarse density -> fused importance sampling -> fine
+    pass), same enqueue-N/drain-once protocol as `_device_ms`. Mirrors
+    scripts/profile_turbo_frame.py but rides the driver artifact so a kernel
+    regression is distinguishable from tunnel noise (round-3 VERDICT)."""
+    import jax.numpy as jnp
+
+    from nerf_workspaces_explorer_tpu.ops.pallas_render import (
+        _dists_from_z,
+        encode_viewdirs_kernel_order,
+        nerf_render_pallas,
+        prepare_kernel_params,
+        ray_phase_vectors,
+    )
+    from nerf_workspaces_explorer_tpu.ops.pallas_sampling import (
+        importance_merge_pallas,
+    )
+    from nerf_workspaces_explorer_tpu.ops.quantize import calibrate_model_quant
+    from nerf_workspaces_explorer_tpu.rays import create_rays
+    from nerf_workspaces_explorer_tpu.rays.sampling import coarse_z_vals
+    from nerf_workspaces_explorer_tpu.render.proposal import proposal_spec
+    from nerf_workspaces_explorer_tpu.train.distill import (
+        load_turbo_checkpoint,
+        read_turbo_metadata,
+        student_spec_from_meta,
+    )
+
+    params, _ = load_turbo_checkpoint(sidecar)
+    spec, student = student_spec_from_meta(read_turbo_metadata(sidecar))
+    n_coarse = int(student.get("n_samples", 64))
+    n_imp = int(student["n_importance"])
+    sub = max(1, int(student.get("proposal_subsample", 1)))
+    near, far = depth_range
+
+    quant = calibrate_model_quant(params, spec)
+    kp_p = prepare_kernel_params(
+        params["proposal"],
+        proposal_spec(int(student.get("proposal_num_freqs", 6))),
+        quant=quant.get("proposal"),
+    )
+    kp_f = prepare_kernel_params(params["fine"], spec, quant=quant["fine"])
+
+    rays = create_rays(
+        jnp.eye(4)[None], HEIGHT, WIDTH, 320.0, 320.0, WIDTH / 2 - 0.5,
+        HEIGHT / 2 - 0.5, near, far,
+    ).reshape(HEIGHT * WIDTH)
+    origins = rays.origins.astype(jnp.float32)
+    dirs = rays.dirs.astype(jnp.float32)
+    dir_norm = jnp.linalg.norm(dirs, axis=-1)[None, :]
+    venc = encode_viewdirs_kernel_order(
+        rays.viewdirs.astype(jnp.float32), num_freqs=kp_f.view_freqs
+    )
+    o_ph_p, d_ph_p = ray_phase_vectors(origins, dirs, kp_p.pts_freqs)
+    o_ph_f, d_ph_f = ray_phase_vectors(origins, dirs, kp_f.pts_freqs)
+    # Proposal/importance run on the strided placement lattice the serving
+    # path uses (every `sub`th ray per axis); fine runs on all rays.
+    lat = (
+        jnp.arange(HEIGHT * WIDTH)
+        .reshape(HEIGHT, WIDTH)[::sub, ::sub]
+        .reshape(-1)
+    )
+    z_c = coarse_z_vals(
+        rays.near.astype(jnp.float32)[lat], rays.far.astype(jnp.float32)[lat],
+        n_coarse,
+    ).T
+
+    def timed(fn, *args, n=10):
+        out = fn(*args)
+        float(out.ravel()[0]) if out.ndim else float(out)
+        start = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        float(out.ravel()[0]) if out.ndim else float(out)
+        return (time.perf_counter() - start) / n * 1000.0
+
+    @jax.jit
+    def proposal_sum(z):
+        return nerf_render_pallas(
+            kp_p, o_ph_p[:, lat], d_ph_p[:, lat], z,
+            _dists_from_z(z, dir_norm[:, lat]), density_only=True,
+            early_stop_eps=1e-3,
+        ).sum()
+
+    @jax.jit
+    def importance_only(wts, z):
+        return importance_merge_pallas(wts, z, n_imp, ray_tile=256, merge=False)
+
+    @jax.jit
+    def importance_sum(wts, z):
+        return importance_only(wts, z).sum()
+
+    @jax.jit
+    def proposal_wts(z):
+        return nerf_render_pallas(
+            kp_p, o_ph_p[:, lat], d_ph_p[:, lat], z,
+            _dists_from_z(z, dir_norm[:, lat]), density_only=True,
+            early_stop_eps=1e-3,
+        )
+
+    wts = proposal_wts(z_c)
+    z_fine_lat = importance_only(wts, z_c)
+    # Broadcast lattice z back to all rays (nearest lattice site), matching
+    # the serving path's placement-broadcast shape for the fine pass.
+    rows = (jnp.arange(HEIGHT) // sub) * ((WIDTH + sub - 1) // sub)
+    cols = jnp.arange(WIDTH) // sub
+    full_idx = (rows[:, None] + cols[None, :]).reshape(-1)
+    z_fine = z_fine_lat[:, full_idx]
+
+    @jax.jit
+    def fine_sum(z):
+        return nerf_render_pallas(
+            kp_f, o_ph_f, d_ph_f, z, _dists_from_z(z, dir_norm), venc,
+            early_stop_eps=1e-3,
+        ).sum()
+
+    return {
+        "proposal": round(timed(proposal_sum, z_c), 2),
+        "importance": round(timed(importance_sum, wts, z_c), 2),
+        "fine": round(timed(fine_sum, z_fine), 2),
+    }
+
+
 def main() -> None:
     from nerf_workspaces_explorer_tpu.camera.poses import poses_from_coordinates
     from nerf_workspaces_explorer_tpu.core import COORD
@@ -226,6 +374,17 @@ def main() -> None:
     ms_floor_no_et = tops * 1e12 / INT8_PEAK_TOPS * 1000.0
     mfu = tops * 1e12 / (headline_ms / 1000.0) / INT8_PEAK_TOPS
 
+    # Device-time accounting (round-3 VERDICT item 3): whole-frame device
+    # time with the queue-drain protocol, the dispatch+fetch residual the
+    # tunnel adds on top, per-stage split at the headline turbo config, and
+    # MFU against device time (the number the kernels answer for).
+    device_ms = _device_ms(headline, pose)
+    mfu_device = tops * 1e12 / (device_ms / 1000.0) / INT8_PEAK_TOPS
+    dispatch_fetch_ms = max(0.0, headline_ms - device_ms)
+    stage_ms = None
+    if ms_turbo is not None:
+        stage_ms = _turbo_stage_split(sidecar, depth_range)
+
     # Training throughput at the shipped office config (1024 rays/step,
     # 64+128 samples, full 8x256 coarse+fine with backward + Adam).
     train_steps_per_sec = _bench_train_step()
@@ -238,7 +397,12 @@ def main() -> None:
                 "value": round(headline_ms, 2),
                 "unit": "ms",
                 "vs_baseline": round(TARGET_MS / headline_ms, 4),
+                "vs_baseline_reference_placement": round(TARGET_MS / ms_ref, 4),
                 "preset": preset_name,
+                "device_ms": round(device_ms, 2),
+                "dispatch_fetch_ms_est": round(dispatch_fetch_ms, 2),
+                "mfu_device": round(mfu_device, 4),
+                "stage_ms": stage_ms,
                 "ms_per_frame_fast_preset": round(ms_fast, 2),
                 "ms_per_frame_turbo": (
                     round(ms_turbo, 2) if ms_turbo is not None else None

@@ -372,10 +372,10 @@ def save_turbo_checkpoint(
     `proposal_subsample_serving` records the coarse/importance ray-lattice
     stride (RenderSettings.proposal_subsample) the student was quality-gated
     at; the turbo preset serves with it by default. Stride 4 passed the
-    20k-step gate at -0.00 dB vs exact placement
-    (reports/quality_gate_subsample4_20k.md); 48 importance samples passed
-    at -0.63 dB vs the teacher's merged render, allowed 1.0 — and above the
-    64-sample gate's PSNR (reports/quality_gate_turbo48_20k.md).
+    20k-step gate with no measurable PSNR loss vs exact placement
+    (reports/quality_gate_subsample4_20k.md); the 48-importance-sample
+    student measured +0.63 dB ABOVE its teacher's merged-render test PSNR
+    (gate allows up to 1.0 dB BELOW — reports/quality_gate_turbo48_20k.md).
     """
     meta: Dict[str, Any] = {
         "turbo": True,
@@ -392,7 +392,16 @@ def save_turbo_checkpoint(
         },
     }
     if report:
-        meta["distill_report"] = report
+        # Stamp the serving config the report's numbers were measured at, so
+        # a later metadata-only re-stamp (scripts/set_turbo_serving_config.py)
+        # can't silently present old-config numbers as current-config ones.
+        meta["distill_report"] = dict(
+            report,
+            measured_at={
+                "n_importance": int(n_importance_serving),
+                "proposal_subsample": int(proposal_subsample_serving),
+            },
+        )
     save_checkpoint(path, student_params, step=step, metadata=meta)
 
 

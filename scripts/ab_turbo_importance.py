@@ -60,10 +60,16 @@ def main() -> None:
     for _ in range(args.rounds):
         for n in args.counts:
             r = renderers[n]
-            np.asarray(r.render_pose_uint8(pose))
+            # Drain any queued work, then time by enqueueing all frames and
+            # fetching ONE byte at the end (CLAUDE.md timing protocol): the
+            # in-order queue makes that fetch wait for every frame, without
+            # paying the ~30 ms full-frame tunnel transfer per iteration.
+            float(r.render_pose_uint8(pose)[0, 0, 0])
             start = time.perf_counter()
+            out = None
             for _ in range(args.frames):
-                np.asarray(r.render_pose_uint8(pose))
+                out = r.render_pose_uint8(pose)
+            float(out[0, 0, 0])  # one scalar fetch drains the queue
             times[n].append(
                 (time.perf_counter() - start) / args.frames * 1000.0
             )

@@ -36,6 +36,14 @@ def main() -> None:
     if not meta.get("turbo"):
         raise SystemExit(f"{args.sidecar} is not a turbo sidecar")
     before = dict(meta["student"])
+    # The embedded distill_report's numbers were measured at the PRE-patch
+    # serving config; make that explicit so the re-stamped sidecar never
+    # presents them as current-config measurements (ADVICE r3).
+    if "distill_report" in meta and "measured_at" not in meta["distill_report"]:
+        meta["distill_report"]["measured_at"] = {
+            "n_importance": before.get("n_importance"),
+            "proposal_subsample": before.get("proposal_subsample"),
+        }
     if args.n_importance is not None:
         meta["student"]["n_importance"] = int(args.n_importance)
     if args.prop_subsample is not None:
