@@ -21,9 +21,9 @@ def main() -> None:
         default="fast",
         help="render precision: parity (fp32, reference-identical), fast "
         "(bf16 MXU; 320x240 reference-parity SSIM 0.995), int8-trunk "
-        "(int8 trunk matmuls, bf16 heads), int8 (full-int8 fused kernels "
-        "— fastest, but measured 0.986 SSIM vs the reference's own "
-        "320x240 render, below the 0.99 gate: an opt-in speed mode; "
+        "(int8 trunk matmuls, bf16 heads; SSIM 0.992), int8 (full-int8 "
+        "fused kernels — fastest; SSIM 0.992, passing the >=0.99 gate "
+        "since the polynomial sin/cos encode: "
         "reports/reference_parity_320x240.md). int8* modes are TPU only",
     )
     parser.add_argument(

@@ -73,9 +73,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="on completion, save final_models/<office>/model.npz (+ .ckpt when torch is available)",
     )
     parser.add_argument(
+        "--field", choices=("auto", "xla", "pallas"), default="auto",
+        help="training field implementation: pallas = fused custom-VJP "
+        "field kernels (~2x steps/s on TPU; bf16 gradients, long-horizon "
+        "validated — reports/long_horizon_200k_room.md), xla = plain XLA "
+        "field (fp32 master compute; the CPU/cross-check path), auto = "
+        "pallas on TPU, xla elsewhere (the default)",
+    )
+    parser.add_argument(
         "--fused-field", action="store_true",
-        help="use the fused Pallas custom-VJP field kernels for training "
-        "(~2x steps/s on TPU; bf16 gradients)",
+        help="alias for --field pallas (kept for script compatibility)",
     )
     parser.add_argument(
         "--proposal", action="store_true",
@@ -180,7 +187,7 @@ def main(argv=None) -> None:
         mesh=mesh,
         seed=args.seed,
         save_dir=args.save_dir,
-        field_impl="pallas" if args.fused_field else "xla",
+        field_impl="pallas" if args.fused_field else args.field,
         use_proposal=args.proposal,
         merge_coarse=not args.fast_preset,
         steps_per_call=args.steps_per_call,

@@ -85,7 +85,7 @@ class Trainer:
         save_dir: Optional[str] = None,
         enable_tensorboard: bool = True,
         use_pallas: Optional[bool] = None,
-        field_impl: str = "xla",
+        field_impl: str = "auto",
         use_proposal: bool = False,
         merge_coarse: bool = True,
         steps_per_call: int = 1,
@@ -101,7 +101,7 @@ class Trainer:
         if field_impl == "auto":
             # The fused custom-VJP field kernels are the TPU training
             # default (~2x steps/s at equal convergence — long-horizon
-            # validation: reports/long_horizon_50k_room.md); the XLA field
+            # validation: reports/long_horizon_200k_room.md); the XLA field
             # serves CPU runs and fp32 cross-checks.
             field_impl = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
         self._field_impl = field_impl
