@@ -72,7 +72,7 @@ def run_mode(mode: str, extra, steps: int, base: str, args) -> str:
             "--synthetic-views", "12", "3",
         ]
     cmd = [
-        sys.executable, "-m", "nerf_workspaces_explorer_tpu.cli.train",
+        sys.executable, "-u", "-m", "nerf_workspaces_explorer_tpu.cli.train",
         "--office", "tokyo", "--synthetic", *scene_args,
         "--iterations", str(steps), "--steps-per-call", "100",
         "--save-dir", save_dir, "--save-final", *extra,
