@@ -101,6 +101,13 @@ def build_parser() -> argparse.ArgumentParser:
         "logging/eval/ckpt cadences still fire at their exact steps",
     )
     parser.add_argument(
+        "--eval-max-views", type=int, default=0, metavar="N",
+        help="evenly subsample the train/test EVAL render cadences to at "
+        "most N views (0 = reference behavior: render every view — "
+        "…training_handler.py:411-480; at ~180 views/split a full-set "
+        "render costs ~2 min/cadence). Training always uses the full split",
+    )
+    parser.add_argument(
         "--nan-debug", action="store_true",
         help="raise on the first NaN inside jitted code (slow; the analog of "
         "the reference's global anomaly detection)",
@@ -191,6 +198,7 @@ def main(argv=None) -> None:
         use_proposal=args.proposal,
         merge_coarse=not args.fast_preset,
         steps_per_call=args.steps_per_call,
+        eval_max_views=args.eval_max_views,
     )
     trainer.setup()
 

@@ -89,6 +89,7 @@ class Trainer:
         use_proposal: bool = False,
         merge_coarse: bool = True,
         steps_per_call: int = 1,
+        eval_max_views: int = 0,
     ) -> None:
         self._office_name = office_name
         self._config = config if config is not None else load_config(office_name=office_name)
@@ -109,6 +110,13 @@ class Trainer:
         # (lax.scan in make_train_step) between logging/eval/ckpt
         # boundaries; the trajectory is bit-identical to single stepping.
         self._steps_per_call = max(1, int(steps_per_call))
+        # eval_max_views > 0: evenly subsample the train/test EVAL render
+        # sets to at most that many views (training always samples the full
+        # train split). The reference renders every view each cadence
+        # (…training_handler.py:411-480) — that stays the default — but at
+        # reference scale (~180 views/split) a full-set render costs ~2 min
+        # per cadence, which dominates a 200k-step study run.
+        self._eval_max_views = max(0, int(eval_max_views))
         self._fast_step = None
         self.timer = StepTimer()
 
@@ -209,8 +217,22 @@ class Trainer:
         self._train_rgbs = jnp.asarray(
             self._train_data.rgb.reshape(n_train, -1, 3), dtype=jnp.float32
         )
-        self._train_rgbs_scaled = scale(self._train_data.rgb)
-        self._test_rgbs_scaled = scale(self._test_data.rgb)
+
+        def eval_ids(n: int) -> Optional[np.ndarray]:
+            if 0 < self._eval_max_views < n:
+                return np.linspace(0, n - 1, self._eval_max_views).astype(int)
+            return None
+
+        self._train_eval_ids = eval_ids(n_train)
+        self._test_eval_ids = eval_ids(n_test)
+        train_eval_rgb = self._train_data.rgb
+        if self._train_eval_ids is not None:
+            train_eval_rgb = train_eval_rgb[self._train_eval_ids]
+        test_eval_rgb = self._test_data.rgb
+        if self._test_eval_ids is not None:
+            test_eval_rgb = test_eval_rgb[self._test_eval_ids]
+        self._train_rgbs_scaled = scale(train_eval_rgb)
+        self._test_rgbs_scaled = scale(test_eval_rgb)
 
         if self._tb is not None:
             self._tb.write_image("Train/rgb_ground_truth", self._train_data.rgb, 0)
@@ -275,12 +297,14 @@ class Trainer:
         self.rays_train = rays_for(
             self._train_data.camera_pose, self._img_h, self._img_w
         )
-        self.rays_vis = rays_for(
-            self._train_data.camera_pose, self._img_h_scaled, self._img_w_scaled
-        )
-        self.rays_test = rays_for(
-            self._test_data.camera_pose, self._img_h_scaled, self._img_w_scaled
-        )
+        vis_poses = self._train_data.camera_pose
+        if self._train_eval_ids is not None:
+            vis_poses = vis_poses[self._train_eval_ids]
+        test_poses = self._test_data.camera_pose
+        if self._test_eval_ids is not None:
+            test_poses = test_poses[self._test_eval_ids]
+        self.rays_vis = rays_for(vis_poses, self._img_h_scaled, self._img_w_scaled)
+        self.rays_test = rays_for(test_poses, self._img_h_scaled, self._img_w_scaled)
 
     def setup(self) -> None:
         self.prepare_data()

@@ -41,14 +41,15 @@ import time
 REPO = os.path.normpath(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 sys.path.insert(0, REPO)
 
-# Field implementations pinned explicitly: the CLI's default is now
-# `--field auto` (pallas on TPU), so the xla leg must ask for xla. The
-# proposal leg also pins xla to stay comparable with the earlier studies
-# (its bottleneck is not the field — ~165 steps/s under xla).
+# Field implementations pinned explicitly where the mode IS the field
+# comparison: the CLI's default is now `--field auto` (pallas on TPU), so
+# the xla leg must ask for xla. The proposal leg deliberately keeps the
+# auto default — it validates the SHIPPED training configuration
+# (proposal + fused field on TPU) at long horizon.
 MODES = {
     "xla": ["--field", "xla"],
     "fused": ["--field", "pallas"],
-    "proposal": ["--proposal", "--field", "xla"],
+    "proposal": ["--proposal"],
 }
 
 
@@ -77,6 +78,8 @@ def run_mode(mode: str, extra, steps: int, base: str, args) -> str:
         "--iterations", str(steps), "--steps-per-call", "100",
         "--save-dir", save_dir, "--save-final", *extra,
     ]
+    if args.eval_max_views > 0:
+        cmd += ["--eval-max-views", str(args.eval_max_views)]
     log_path = os.path.join(base, f"{mode}.log")
     print(f"[{mode}] {' '.join(cmd)} (log: {log_path})", flush=True)
     t0 = time.time()
@@ -108,6 +111,11 @@ def main() -> None:
     parser.add_argument("--room-frames", type=int, default=900)
     parser.add_argument("--room-stride", type=int, default=5)
     parser.add_argument("--cache-dir", type=str, default="/tmp/room_scene_cache")
+    parser.add_argument(
+        "--eval-max-views", type=int, default=0,
+        help="subsample eval render cadences to N views (0 = render all; "
+        "see cli.train --eval-max-views)",
+    )
     parser.add_argument(
         "--modes", nargs="+", default=list(MODES),
         choices=list(MODES),

@@ -108,6 +108,44 @@ def test_trainer_field_impl_defaults_to_fused_on_tpu(tmp_path, monkeypatch):
     assert trainer._field_impl == "pallas"  # TPU: auto -> fused field
 
 
+def test_eval_max_views_subsamples_eval_renders(tmp_path):
+    """eval_max_views caps the eval render sets (evenly spaced ids) while
+    training still samples the full train split; 0 keeps the reference
+    render-every-view behavior (…training_handler.py:411-480)."""
+    from nerf_workspaces_explorer_tpu.data import make_synthetic_scene
+    from nerf_workspaces_explorer_tpu.train.loop import Trainer
+
+    train, test, _ = make_synthetic_scene(n_train=6, n_test=5, height=8, width=8)
+    trainer = Trainer(
+        "office_tokyo", config=small_config(), train_data=train,
+        test_data=test, save_dir=str(tmp_path / "r"),
+        enable_tensorboard=False, eval_max_views=3,
+    )
+    trainer.prepare_data()
+    trainer.initialize_rays()
+    assert trainer.rays_train.origins.shape[0] == 6  # training: full split
+    assert trainer.rays_vis.origins.shape[0] == 3
+    assert trainer.rays_test.origins.shape[0] == 3
+    assert trainer._train_rgbs_scaled.shape[0] == 3
+    assert trainer._test_rgbs_scaled.shape[0] == 3
+    # Evenly spaced over the split, endpoints included.
+    np.testing.assert_array_equal(trainer._train_eval_ids, [0, 2, 5])
+    np.testing.assert_array_equal(trainer._test_eval_ids, [0, 2, 4])
+    # GT rows correspond to the subsampled poses (not the first N).
+    np.testing.assert_allclose(
+        trainer._test_rgbs_scaled[1], test.rgb[2], atol=1e-6
+    )
+
+    trainer0 = Trainer(
+        "office_tokyo", config=small_config(), train_data=train,
+        test_data=test, save_dir=str(tmp_path / "r0"),
+        enable_tensorboard=False,
+    )
+    trainer0.prepare_data()
+    trainer0.initialize_rays()
+    assert trainer0.rays_test.origins.shape[0] == 5  # default: every view
+
+
 def test_lr_schedule_matches_reference_decay():
     # Reference: lr * 0.1^(step/50000), continuous (…training_handler.py:312-315).
     opt = make_optimizer(5e-4, 0.1, 50_000.0)
