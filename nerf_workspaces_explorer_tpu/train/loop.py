@@ -520,14 +520,21 @@ class Trainer:
         except ImportError:
             pass
 
-    @staticmethod
-    def _write_mp4(path: str, images: np.ndarray) -> None:
+    _warned_mp4 = False
+
+    @classmethod
+    def _write_mp4(cls, path: str, images: np.ndarray) -> None:
         try:
             import imageio
 
             imageio.mimwrite(path, images, fps=30, quality=8)
-        except (ImportError, ValueError, OSError):
-            pass
+        except (ImportError, ValueError, OSError) as exc:
+            # Optional capability (needs an imageio ffmpeg backend); PNGs
+            # are always written. Say so once instead of failing silently.
+            if not cls._warned_mp4:
+                cls._warned_mp4 = True
+                print(f"(mp4 export unavailable — {type(exc).__name__}: "
+                      f"PNG frames are still written)")
 
     def _eval_split(
         self, tag: str, rays: RayBundle, gt_scaled: np.ndarray, global_step: int, subdir: str

@@ -199,11 +199,13 @@ def main() -> None:
                 f"| {s['final_psnr_fine']:.2f} | {s['test_psnr']:.2f} "
                 f"| {s['test_mse']:.2e} | {s['train_psnr']:.2f} |\n"
             )
-        f.write(
-            f"\nbf16-gradient drift (fused - xla test PSNR): {drift:+.2f} dB "
-            f"(|gate| {args.max_bf16_drift_db})\n"
-            f"proposal - xla test PSNR: {prop_delta:+.2f} dB\n"
-        )
+        if {"xla", "fused"} <= set(summaries):
+            f.write(
+                f"\nbf16-gradient drift (fused - xla test PSNR): "
+                f"{drift:+.2f} dB (|gate| {args.max_bf16_drift_db})\n"
+            )
+        if {"xla", "proposal"} <= set(summaries):
+            f.write(f"proposal - xla test PSNR: {prop_delta:+.2f} dB\n")
     print(f"summary -> {out_md}", flush=True)
     for mode, s in summaries.items():
         print(f"[{mode}] test PSNR {s['test_psnr']:.2f} dB, "
