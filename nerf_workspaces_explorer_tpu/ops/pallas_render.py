@@ -269,6 +269,20 @@ def prepare_kernel_params(
             target = (
                 quant.h_max[i] if i < n_layers - 1 else quant.h_last_max
             ) / 127.0
+            if target <= 0.0:
+                # Layer dead (all-zero post-ReLU) on the calibration batch —
+                # measured on a room-interior checkpoint whose pre-skip
+                # layer never fires on box points. Zeros quantize to zero
+                # under ANY unit, so the unit choice only matters for scale
+                # propagation: k=0 would hand the next layer an absurdly
+                # fine in_unit (raw ~1e-6 here), pushing the skip-match
+                # shift to -14 and saturating the skip weights (int8 SSIM
+                # 0.03). Anchor the dead layer's activation unit at the
+                # encode-feature unit instead — the natural mid-scale —
+                # which keeps every downstream requant in range. If the
+                # layer DOES fire at serving time, the coarse unit clips
+                # conservatively instead of exploding.
+                target = quant.feat_max / 127.0
             w_unit, k = _balanced_requant(w_unit, in_unit, target)
         raw = w_unit * in_unit
         if w_skip_t is not None:

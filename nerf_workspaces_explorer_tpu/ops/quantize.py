@@ -115,7 +115,18 @@ def calibrate_trunk(
         a = np.abs(x)
         if percentile is None:
             return float(a.max())
-        return float(np.percentile(a, percentile))
+        # Percentile over the NONZERO support: post-ReLU trunk activations
+        # can be >99.5% zeros on calibration points outside the trained
+        # geometry (measured on a room-interior checkpoint: the pre-skip
+        # layer's plain percentile collapsed to 0, which cascaded into a
+        # 2^23 requant shift and a saturating skip unit — int8 SSIM 0.03).
+        # A percentile of zero would clip EVERY real activation, not rare
+        # outliers; restricting to the activated support keeps the
+        # outlier-suppression semantics under sparsity.
+        nz = a[a > 0.0]
+        if nz.size == 0:
+            return 0.0
+        return float(np.percentile(nz, percentile))
 
     num_freqs = (spec.input_ch - 3) // 6
     feat = _encode_np(pts, num_freqs, 10.0)

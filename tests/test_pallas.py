@@ -252,6 +252,47 @@ def test_int8_trunk_matches_fp32_pipeline(params):
     assert err.max() < 3e-2, err.max()
 
 
+def test_int8_survives_dead_preskip_layer(params):
+    """A trunk layer that never fires on the calibration batch (all-zero
+    post-ReLU — observed on a room-interior checkpoint whose pre-skip layer
+    is dead on box points) must not wreck the requant chain: the percentile
+    is taken over the nonzero support, a fully dead layer's unit anchors at
+    the encode-feature unit, the skip-match shift stays in range (no
+    saturation warning), and the int8 render stays within budget of bf16."""
+    import copy
+    import warnings
+
+    from nerf_workspaces_explorer_tpu.ops.quantize import calibrate_model_quant
+
+    dead = copy.deepcopy(params)
+    for net in dead.values():
+        # Kill the pre-skip layer (output concats with the encode skip):
+        # large negative bias -> ReLU zero everywhere.
+        layer = SPEC.skips[0]
+        net["pts"][layer]["b"] = net["pts"][layer]["b"] - 100.0
+
+    quant = calibrate_model_quant(dead, SPEC, box=4.0, heads=False)
+    assert quant["fine"].h_max[SPEC.skips[0]] == 0.0  # calibration says dead
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the old chain warned + saturated
+        kp = prepare_kernel_params(dead["fine"], SPEC, quant=quant["fine"])
+    assert all(-8 <= j <= 8 for j in kp.skip_shift), kp.skip_shift
+
+    settings = RenderSettings(n_samples=16, n_importance=16)
+    rays = create_rays(jnp.eye(4)[None], 8, 16, 8.0, 8.0, 7.5, 3.5, 0.5, 4.0).reshape(128)
+    rgb_q = np.asarray(render_rays_fused(
+        dead, rays, settings, spec=SPEC, ray_tile=128, interpret=True,
+        quant=quant,
+    ))
+    ref = render_ray_bundle(
+        dead, rays, settings.for_eval(), spec=SPEC, full_outputs=False
+    )
+    err = np.abs(rgb_q - np.asarray(ref["rgb_fine"]))
+    assert np.all(np.isfinite(rgb_q))
+    assert err.mean() < 2e-3, err.mean()
+    assert err.max() < 3e-2, err.max()
+
+
 def test_int8_quant_scales_are_static_floats(params):
     from nerf_workspaces_explorer_tpu.ops.quantize import calibrate_trunk
 
