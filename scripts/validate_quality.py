@@ -201,11 +201,29 @@ def run_turbo_leg(leg, leg_name, train, test, args, scene_ctx):
     h, w = args.height, args.width
     near, far = scene_ctx["near"], scene_ctx["far"]
     if scene_ctx.get("grid_poses") is not None:
-        # Room scene: distill on the walkthrough tour; hold out the probe
-        # grid entirely (the student never trains on a gate view).
+        # Room scene: distill on the walkthrough tour PLUS an off-tour
+        # coverage grid (4x4 positions x 45-degree-offset yaws x two
+        # heights — disjoint from the 3x3/axis-aligned gate grid by
+        # construction); hold out the probe grid entirely (the student
+        # never trains on a gate view). Tour-only distillation collapses
+        # off-tour on interiors (18.84 vs teacher 27.84 dB, measured —
+        # reports/quality_gate_room_20k.md); coverage + a 50k budget +
+        # a 6x192@10f student passes at +0.64 dB
+        # (reports/quality_gate_room_turbo_fix_6x192_50k.md).
+        from nerf_workspaces_explorer_tpu.data.synthetic import room_grid_poses
+
+        half = scene_ctx["half"]
+        cover = np.concatenate([
+            room_grid_poses(half=half, grid=4,
+                            yaws=(45.0, 135.0, 225.0, 315.0), y=-0.3),
+            room_grid_poses(half=half, grid=4,
+                            yaws=(45.0, 135.0, 225.0, 315.0), y=0.15),
+        ])
         gate_poses = scene_ctx["grid_poses"]
         gate_gt = scene_ctx["grid_gt"]
-        poses = np.concatenate([train.camera_pose, gate_poses], axis=0)
+        poses = np.concatenate(
+            [train.camera_pose, cover, gate_poses], axis=0
+        )
         gate_tag = f"probe grid ({len(gate_poses)} views)"
     else:
         # Orbit scene (legacy): train poses + extra rings; test views held
@@ -445,7 +463,8 @@ def main() -> None:
             f"scene: room walkthrough, {len(train)} train / {len(test)} "
             f"test views at {w}x{h}", flush=True,
         )
-        scene_ctx = {"near": near, "far": far}
+        scene_ctx = {"near": near, "far": far,
+                     "half": np.asarray(scene.half)}
         if args.turbo:
             grid_poses = room_grid_poses(
                 half=np.asarray(scene.half), grid=args.grid
