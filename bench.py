@@ -6,8 +6,8 @@ Primary metric (per BASELINE.json): ms/frame at 640x480 for the fastest
 QUALITY-GATED serving preset present:
 
   - TURBO (when assets/bench/synth_proposal.turbo.npz exists): a narrow
-    student (default 4x128@8f) distilled offline from the trained fixture
-    (train/distill.py), served proposal-guided importance-only at int8 —
+    student (train/distill.py DEFAULT_STUDENT) distilled offline from the
+    trained fixture, served proposal-guided importance-only at int8 —
     gated by scripts/validate_quality.py --proposal --fast-preset --turbo.
   - FAST otherwise: the full 8x256 fine net, proposal(2x64) coarse pass,
     full-int8 kernels, importance-only fine pass (no re-evaluation of the
@@ -48,6 +48,19 @@ WARMUP_FRAMES = 2
 TIMED_FRAMES = 5
 FAST_N_IMPORTANCE = 96  # quality-gated (validate_quality.py --fast-preset)
 INT8_PEAK_TOPS = 374e12  # measured v5e MXU int8 throughput (ROADMAP.md)
+
+# Tunnel-degradation defense (round-4 VERDICT item 1): the axon tunnel's
+# dispatch+fetch overhead is normally ~35-60 ms on top of device time, but
+# degraded windows have been observed at 350+ ms (BENCH_r04.json recorded
+# 385.51 ms wall against 35.11 ms device). If the measured overhead exceeds
+# DEGRADED_OVERHEAD_MS, the timing block is re-run (compiled programs are
+# reused, so a retry costs seconds) after a pause, and the best attempt
+# wins; the JSON carries `attempts` and a `degraded` flag so a bad window
+# can never silently become the round's number.
+TUNNEL_NORM_MS = 60.0
+DEGRADED_OVERHEAD_MS = 2.5 * TUNNEL_NORM_MS
+MAX_TIMING_ATTEMPTS = 5
+RETRY_SLEEP_S = 45.0
 
 FIXTURE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "assets", "bench",
@@ -91,7 +104,12 @@ def _load_params():
 
     if os.path.exists(FIXTURE):
         params, _, _, meta = load_checkpoint(FIXTURE)
-        return params, tuple(meta.get("depth_range", (0.1, 6.0))), "trained-synthetic"
+        scene = meta.get("scene", "synthetic")
+        return (
+            params,
+            tuple(meta.get("depth_range", (0.1, 6.0))),
+            f"trained-{scene}",
+        )
     spec = NerfMLPSpec()
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     params = {
@@ -298,9 +316,6 @@ def main() -> None:
         COORD(x=1.0, y=-0.5, z=0.5, pitch=-90.0), [COORD(yaw=-30.0)]
     )[0]
 
-    ms_fast = _time_renderer(fast, pose)
-    ms_ref = _time_renderer(ref, pose)
-
     # TURBO preset: distilled narrow student, when its sidecar fixture
     # exists next to the trained teacher fixture.
     from nerf_workspaces_explorer_tpu.train.distill import (
@@ -310,26 +325,25 @@ def main() -> None:
     )
 
     sidecar = turbo_sidecar_path(FIXTURE)
-    ms_turbo = turbo_student = turbo_spec = None
-    if weights_kind == "trained-synthetic" and os.path.exists(sidecar):
+    turbo = turbo_student = turbo_spec = None
+    if weights_kind.startswith("trained") and os.path.exists(sidecar):
         turbo = NeRFRenderer(
             "office_tokyo", FIXTURE, config=config, precision=precision,
             use_pallas=use_pallas, preset="turbo",
         )
         turbo.initialize_models()
-        ms_turbo = _time_renderer(turbo, pose)
         turbo_spec, turbo_student = student_spec_from_meta(
             read_turbo_metadata(sidecar)
         )
 
-    if ms_turbo is not None:
-        headline, headline_ms = turbo, ms_turbo
+    if turbo is not None:
+        headline = turbo
         preset_name = "turbo"
         n_coarse = int(turbo_student["n_samples"])
         n_fine = int(turbo_student["n_importance"])
         fine_spec = turbo_spec
     else:
-        headline, headline_ms = fast, ms_fast
+        headline = fast
         preset_name = "fast"
         n_coarse, n_fine = 64, FAST_N_IMPORTANCE
         fine_spec = NerfMLPSpec()
@@ -341,7 +355,7 @@ def main() -> None:
         experiment=ExperimentConfig(image_width=320, image_height=240),
         rendering=RenderingConfig(depth_range=depth_range),
     )
-    if ms_turbo is not None:
+    if turbo is not None:
         r320 = NeRFRenderer(
             "office_tokyo", FIXTURE, config=config320, precision=precision,
             use_pallas=use_pallas, preset="turbo",
@@ -354,19 +368,72 @@ def main() -> None:
             n_importance=FAST_N_IMPORTANCE,
         )
         r320.set_params(params)
-    ms_320 = _time_renderer(r320, pose)
 
-    # Tour/video throughput on the headline preset: the pipelined stream
-    # overlaps device compute with the host download.
     tour = poses_from_coordinates(
         COORD(x=1.0, y=-0.5, z=0.5, pitch=-90.0),
         [COORD(yaw=a) for a in np.linspace(-90.0, 90.0, 8)],
     )
-    start = time.perf_counter()
-    n_streamed = sum(
-        1 for _ in headline.render_poses_uint8_stream(tour, lookahead=3)
-    )
-    ms_streamed = (time.perf_counter() - start) / n_streamed * 1000.0
+
+    def _measure_once() -> dict:
+        """One full wall-clock timing pass over every preset (compiled
+        programs are reused after the first pass, so re-runs cost seconds)
+        plus a device-time read for the headline preset. Diagnostics must
+        never take down the artifact, so device-time failure degrades to
+        None rather than raising."""
+        t = {
+            "ms_fast": _time_renderer(fast, pose),
+            "ms_ref": _time_renderer(ref, pose),
+            "ms_turbo": (
+                _time_renderer(turbo, pose) if turbo is not None else None
+            ),
+            "ms_320": _time_renderer(r320, pose),
+        }
+        # Tour/video throughput on the headline preset: the pipelined
+        # stream overlaps device compute with the host download.
+        start = time.perf_counter()
+        n_streamed = sum(
+            1 for _ in headline.render_poses_uint8_stream(tour, lookahead=3)
+        )
+        t["ms_streamed"] = (time.perf_counter() - start) / n_streamed * 1000.0
+        t["headline_ms"] = t["ms_turbo"] if turbo is not None else t["ms_fast"]
+        try:
+            t["device_ms"] = _device_ms(headline, pose)
+        except Exception as exc:  # noqa: BLE001
+            print(f"(device-time accounting failed: {exc!r})", file=sys.stderr)
+            t["device_ms"] = None
+        return t
+
+    def _is_degraded(t: dict) -> bool:
+        """A capture is degraded when the tunnel's dispatch+fetch residual
+        dwarfs the documented norm, or when device time could not be read
+        at all (an unverifiable window)."""
+        if t["device_ms"] is None:
+            return True
+        return (t["headline_ms"] - t["device_ms"]) > DEGRADED_OVERHEAD_MS
+
+    best = None
+    attempts = 0
+    for attempt in range(MAX_TIMING_ATTEMPTS):
+        attempts += 1
+        t = _measure_once()
+        if best is None or t["headline_ms"] < best["headline_ms"]:
+            best = t
+        if not _is_degraded(best):
+            break
+        print(
+            f"(degraded capture on attempt {attempts}: headline "
+            f"{t['headline_ms']:.1f} ms vs device {t['device_ms']} ms; "
+            f"retrying after {RETRY_SLEEP_S:.0f}s)",
+            file=sys.stderr,
+        )
+        if attempt < MAX_TIMING_ATTEMPTS - 1:
+            time.sleep(RETRY_SLEEP_S)
+    degraded = _is_degraded(best)
+
+    headline_ms = best["headline_ms"]
+    ms_fast, ms_ref = best["ms_fast"], best["ms_ref"]
+    ms_turbo, ms_320 = best["ms_turbo"], best["ms_320"]
+    ms_streamed, device_ms = best["ms_streamed"], best["device_ms"]
 
     rays_per_sec = WIDTH * HEIGHT / (headline_ms / 1000.0)
     n_chips = jax.device_count()
@@ -375,25 +442,28 @@ def main() -> None:
     ms_floor_no_et = tops * 1e12 / INT8_PEAK_TOPS * 1000.0
     mfu = tops * 1e12 / (headline_ms / 1000.0) / INT8_PEAK_TOPS
 
-    # Device-time accounting (round-3 VERDICT item 3): whole-frame device
-    # time with the queue-drain protocol, the dispatch+fetch residual the
-    # tunnel adds on top, per-stage split at the headline turbo config, and
-    # MFU against device time (the number the kernels answer for). These
-    # are diagnostics ON TOP of the headline timing — they must never take
-    # the whole artifact down, so failures degrade to null fields.
-    device_ms = mfu_device = dispatch_fetch_ms = None
-    try:
-        device_ms = _device_ms(headline, pose)
+    mfu_device = dispatch_fetch_ms = None
+    if device_ms is not None:
         mfu_device = tops * 1e12 / (device_ms / 1000.0) / INT8_PEAK_TOPS
         dispatch_fetch_ms = max(0.0, headline_ms - device_ms)
-    except Exception as exc:  # noqa: BLE001
-        print(f"(device-time accounting failed: {exc!r})", file=sys.stderr)
+
+    # Per-stage device-time split at the headline turbo config (round-3
+    # VERDICT item 3), retried on transient tunnel/transport errors
+    # (round-4's split died on a `remote_compile: read body` error).
     stage_ms = None
     if ms_turbo is not None:
-        try:
-            stage_ms = _turbo_stage_split(sidecar, depth_range)
-        except Exception as exc:  # noqa: BLE001
-            print(f"(stage split failed: {exc!r})", file=sys.stderr)
+        for split_attempt in range(3):
+            try:
+                stage_ms = _turbo_stage_split(sidecar, depth_range)
+                break
+            except Exception as exc:  # noqa: BLE001
+                print(
+                    f"(stage split attempt {split_attempt + 1} failed:"
+                    f" {exc!r})",
+                    file=sys.stderr,
+                )
+                if split_attempt < 2:
+                    time.sleep(RETRY_SLEEP_S)
 
     # Training throughput at the shipped office config (1024 rays/step,
     # 64+128 samples, full 8x256 coarse+fine with backward + Adam).
@@ -409,6 +479,8 @@ def main() -> None:
                 "vs_baseline": round(TARGET_MS / headline_ms, 4),
                 "vs_baseline_reference_placement": round(TARGET_MS / ms_ref, 4),
                 "preset": preset_name,
+                "attempts": attempts,
+                "degraded": degraded,
                 "device_ms": (
                     round(device_ms, 2) if device_ms is not None else None
                 ),

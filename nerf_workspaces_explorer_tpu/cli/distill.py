@@ -13,7 +13,7 @@ scripts/validate_quality.py --turbo.
 
 Usage:
     python -m nerf_workspaces_explorer_tpu.cli.distill --office tokyo \
-        [--ckpt path] [--steps 20000] [--width 128 --depth 4 --freqs 8]
+        [--ckpt path] [--steps 50000] [--width 192 --depth 6 --freqs 10]
 """
 
 from __future__ import annotations
@@ -33,12 +33,25 @@ def build_parser() -> argparse.ArgumentParser:
         help="teacher checkpoint (.npz or torch .ckpt); default: the "
         "office's shipped final model",
     )
-    # Student arch defaults = train.distill.DEFAULT_STUDENT (4x128@8f, the
-    # reports/turbo_arch_probe.md winner on both speed and fidelity).
-    parser.add_argument("--steps", type=int, default=20000)
-    parser.add_argument("--depth", type=int, default=4)
-    parser.add_argument("--width", type=int, default=128)
-    parser.add_argument("--freqs", type=int, default=8,
+    # Student arch defaults = train.distill.DEFAULT_STUDENT (6x192@10f at
+    # a 50k budget): the recipe measured to hold INTERIOR scenes — which
+    # is what the shipped offices are. The 4x128@8f orbit-probe winner
+    # FAILS the room probe-grid gate (-2.38 dB vs teacher,
+    # reports/quality_gate_room_turbo_fix.md); pass
+    # `--depth 4 --width 128 --freqs 8` explicitly for the speed student
+    # and gate it per scene (validate_quality.py --turbo).
+    from nerf_workspaces_explorer_tpu.train.distill import (
+        DEFAULT_DISTILL_STEPS,
+        DEFAULT_STUDENT,
+    )
+
+    parser.add_argument("--steps", type=int, default=DEFAULT_DISTILL_STEPS)
+    parser.add_argument("--depth", type=int,
+                        default=DEFAULT_STUDENT["depth"])
+    parser.add_argument("--width", type=int,
+                        default=DEFAULT_STUDENT["width"])
+    parser.add_argument("--freqs", type=int,
+                        default=DEFAULT_STUDENT["num_freqs_3d"],
                         help="student positional-encoding frequencies")
     parser.add_argument("--grid", type=int, default=4,
                         help="floor-plan lattice per axis for teacher views")

@@ -349,6 +349,24 @@ def room_grid_poses(
     return np.stack(poses).astype(np.float32)
 
 
+def room_coverage_poses(half=(2.5, 1.4, 3.0)) -> np.ndarray:
+    """Off-tour distillation COVERAGE views for interior scenes: a 4x4
+    position lattice crossed with 45-degree-offset yaws at two camera
+    heights — disjoint from the 3x3/axis-aligned probe grid the turbo gate
+    holds out (`room_grid_poses`) by construction. Tour-only distillation
+    collapses off-tour on interiors (student 18.84 dB vs teacher 27.84,
+    reports/quality_gate_room_20k.md); adding these views plus the 50k
+    budget recovers the probe-grid gate
+    (reports/quality_gate_room_turbo_fix_6x192_50k.md)."""
+    half = np.asarray(half, dtype=np.float32)
+    return np.concatenate([
+        room_grid_poses(half=half, grid=4,
+                        yaws=(45.0, 135.0, 225.0, 315.0), y=-0.3),
+        room_grid_poses(half=half, grid=4,
+                        yaws=(45.0, 135.0, 225.0, 315.0), y=0.15),
+    ])
+
+
 def render_room_ground_truth(
     scene: RoomScene,
     poses: np.ndarray,

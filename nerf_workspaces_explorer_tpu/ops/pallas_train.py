@@ -21,8 +21,11 @@ Gradients flow ONLY to params: points/view directions get zero cotangents
 (the NeRF loss never needs them — importance z values are stop-gradient'ed
 and rays are data; reference …training_handler.py:580).
 
-Opt-in via `make_train_step(..., field_impl="pallas")`; the XLA path stays
-the default.
+Selected via `make_train_step(..., field_impl=...)`. Since round 4 this IS
+the TPU training default (train/loop.py `field_impl="auto"` resolves to
+"pallas" on TPU after the 50k-step drift study measured -0.05 dB vs the
+XLA field — reports/long_horizon_50k_room.md); the XLA field remains the
+CPU default and the fp32 cross-check path.
 """
 
 from __future__ import annotations

@@ -58,14 +58,28 @@ from nerf_workspaces_explorer_tpu.render.pipeline import RenderSettings
 
 TURBO_SUFFIX = ".turbo.npz"
 
-# Default student: 4x128 at an 8-frequency encoding — the clean arch probe
-# (reports/turbo_arch_probe.md, 2026-08-18) measured it DOMINATING the
-# previous 6x192@10f default on both axes: 171.3 ms vs 212.0 at 640x480
-# int8 AND the best student fidelity of the sweep (30.59 dB mean /
-# 21.63 min vs teacher on held-out views; 4x256@10f 30.54/17.76,
-# 3x256@10f 29.32/22.22). The narrow-net probe showed why freqs must drop
-# with width: 4x128 at 10 freqs memorizes train views (test 15.5 dB).
-DEFAULT_STUDENT = {"depth": 4, "width": 128, "num_freqs_3d": 8}
+# Default student: 6x192 at a 10-frequency encoding with a 50k-step
+# distillation budget — the recipe measured to hold INTERIOR scenes, which
+# are the product content (all four shipped offices are Replica interiors,
+# reference nerf/datasets/replica_dataset.py:25-39). On the room-scene
+# probe-grid gate the 4x128@8f arch-probe winner FAILS even with coverage
+# views and a 20k budget (-2.38 dB vs teacher,
+# reports/quality_gate_room_turbo_fix.md) and 6x192@10f@20k still fails
+# (-1.52 dB); only 6x192@10f@50k passes (+0.64 dB,
+# reports/quality_gate_room_turbo_fix_6x192_50k.md). On the free-floating
+# orbit scene 4x128@8f is faster AND higher-fidelity
+# (reports/turbo_arch_probe.md) — it remains available as SPEED_STUDENT,
+# an opt-in that must pass its own per-scene gate
+# (validate_quality.py --turbo).
+DEFAULT_STUDENT = {"depth": 6, "width": 192, "num_freqs_3d": 10}
+# Opt-in speed student (orbit-scene arch-probe winner: 171.3 ms vs 212.0
+# at 640x480 int8, best held-out fidelity of that sweep). Known-bad on
+# interiors at any measured budget — gate per scene before serving.
+SPEED_STUDENT = {"depth": 4, "width": 128, "num_freqs_3d": 8}
+# Distillation budget: 20k leaves the 6x192 room student 1.52 dB under its
+# teacher (FAIL); 50k recovers to +0.64 (PASS). Orbit students converge
+# far earlier, so the longer default only costs wall-clock there.
+DEFAULT_DISTILL_STEPS = 50_000
 
 
 def turbo_sidecar_path(ckpt_path: str) -> str:
@@ -197,7 +211,7 @@ def distill_student(
     width: int,
     near: float,
     far: float,
-    steps: int = 3000,
+    steps: int = DEFAULT_DISTILL_STEPS,
     depth: int = DEFAULT_STUDENT["depth"],
     net_width: int = DEFAULT_STUDENT["width"],
     num_freqs_3d: int = DEFAULT_STUDENT["num_freqs_3d"],

@@ -8,10 +8,11 @@ small checkpoints on the synthetic scene and saves them as repo fixtures:
   assets/bench/synth_proposal.npz  — proposal(2x64) + fine(8x256), the
                                      serving configuration bench.py times;
   assets/bench/synth_hier.npz      — coarse+fine 8x256 (reference placement);
-  assets/bench/synth_proposal.turbo.npz — narrow student (default 4x128@8f)
-                                     distilled from the proposal fixture
-                                     (train/distill.py), the turbo preset
-                                     bench.py times when present.
+  assets/bench/synth_proposal.turbo.npz — narrow student (default 6x192@10f,
+                                     train/distill.py DEFAULT_STUDENT)
+                                     distilled from the proposal fixture,
+                                     the turbo preset bench.py times when
+                                     present.
 
 The teachers train at the shipped office model config (8x256, 64+128
 samples, 1024 rays/step) on the 96x128 synthetic scene; bench.py renders
@@ -106,7 +107,7 @@ def train_one(name, use_proposal, steps, out_dir, scene_kind="orbit"):
     print(f"[{name}] saved {path} ({size_mb:.1f} MB)")
 
 
-def distill_turbo(steps, out_dir, *, depth=4, width=128, freqs=8,
+def distill_turbo(steps, out_dir, *, depth, width, freqs,
                   n_importance_serving=48, n_samples=None,
                   proposal_subsample_serving=4, scene_kind="orbit"):
     """Distill the proposal teacher fixture into the turbo sidecar
@@ -136,15 +137,22 @@ def distill_turbo(steps, out_dir, *, depth=4, width=128, freqs=8,
         rendering=RenderingConfig(depth_range=depth_range),
     )
     if scene_kind == "room":
-        # Distill on the walkthrough tour; hold out an off-tour probe grid
-        # (the hardened gate geometry, validate_quality.py --scene room).
+        # Distill on the walkthrough tour PLUS the off-tour coverage grid
+        # (tour-only distillation collapses off-tour on interiors:
+        # reports/quality_gate_room_20k.md); hold out the probe grid
+        # entirely (the hardened gate geometry,
+        # validate_quality.py --scene room).
         from nerf_workspaces_explorer_tpu.data.synthetic import (
+            room_coverage_poses,
             room_grid_poses,
             room_scene,
         )
 
-        grid = room_grid_poses(half=np.asarray(room_scene().half))
-        poses = np.concatenate([train.camera_pose, grid], axis=0)
+        half = np.asarray(room_scene().half)
+        grid = room_grid_poses(half=half)
+        poses = np.concatenate(
+            [train.camera_pose, room_coverage_poses(half), grid], axis=0
+        )
         n_holdout = len(grid)
     else:
         poses = np.concatenate([train.camera_pose, test.camera_pose], axis=0)
@@ -172,7 +180,7 @@ def distill_turbo(steps, out_dir, *, depth=4, width=128, freqs=8,
     )
 
 
-def main():
+def build_parser():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--steps", type=int, default=3000)
     parser.add_argument("--out", type=str, default=FIXTURE_DIR)
@@ -181,11 +189,23 @@ def main():
         help="only distill the turbo sidecar from the existing proposal "
         "fixture",
     )
-    parser.add_argument("--turbo-steps", type=int, default=None,
-                        help="distillation steps (default: --steps)")
-    parser.add_argument("--turbo-depth", type=int, default=4)
-    parser.add_argument("--turbo-width", type=int, default=128)
-    parser.add_argument("--turbo-freqs", type=int, default=8)
+    # Student defaults = train.distill.DEFAULT_STUDENT / _DISTILL_STEPS
+    # (interior-robust 6x192@10f @ 50k; 4x128@8f FAILS interiors —
+    # reports/quality_gate_room_turbo_fix.md).
+    from nerf_workspaces_explorer_tpu.train.distill import (
+        DEFAULT_DISTILL_STEPS,
+        DEFAULT_STUDENT,
+    )
+
+    parser.add_argument("--turbo-steps", type=int,
+                        default=DEFAULT_DISTILL_STEPS,
+                        help="distillation steps")
+    parser.add_argument("--turbo-depth", type=int,
+                        default=DEFAULT_STUDENT["depth"])
+    parser.add_argument("--turbo-width", type=int,
+                        default=DEFAULT_STUDENT["width"])
+    parser.add_argument("--turbo-freqs", type=int,
+                        default=DEFAULT_STUDENT["num_freqs_3d"])
     parser.add_argument("--turbo-n-samples", type=int, default=None,
                         help="uniform proposal-pass samples the student "
                         "trains and serves with")
@@ -199,14 +219,18 @@ def main():
                         help="training scene: orbit (legacy 12-view blob "
                         "orbit) or room (reference-scale interior "
                         "walkthrough, data/synthetic.py RoomScene)")
-    args = parser.parse_args()
+    return parser
+
+
+def main():
+    args = build_parser().parse_args()
     out = os.path.abspath(args.out)
     os.makedirs(out, exist_ok=True)
     if not args.skip_teachers:
         train_one("proposal", True, args.steps, out, scene_kind=args.scene)
         train_one("hier", False, args.steps, out, scene_kind=args.scene)
     distill_turbo(
-        args.turbo_steps or args.steps, out,
+        args.turbo_steps, out,
         depth=args.turbo_depth, width=args.turbo_width,
         freqs=args.turbo_freqs, n_samples=args.turbo_n_samples,
         n_importance_serving=args.turbo_n_importance,

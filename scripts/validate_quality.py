@@ -210,15 +210,11 @@ def run_turbo_leg(leg, leg_name, train, test, args, scene_ctx):
         # reports/quality_gate_room_20k.md); coverage + a 50k budget +
         # a 6x192@10f student passes at +0.64 dB
         # (reports/quality_gate_room_turbo_fix_6x192_50k.md).
-        from nerf_workspaces_explorer_tpu.data.synthetic import room_grid_poses
+        from nerf_workspaces_explorer_tpu.data.synthetic import (
+            room_coverage_poses,
+        )
 
-        half = scene_ctx["half"]
-        cover = np.concatenate([
-            room_grid_poses(half=half, grid=4,
-                            yaws=(45.0, 135.0, 225.0, 315.0), y=-0.3),
-            room_grid_poses(half=half, grid=4,
-                            yaws=(45.0, 135.0, 225.0, 315.0), y=0.15),
-        ])
+        cover = room_coverage_poses(scene_ctx["half"])
         gate_poses = scene_ctx["grid_poses"]
         gate_gt = scene_ctx["grid_gt"]
         poses = np.concatenate(
@@ -296,6 +292,7 @@ def run_turbo_leg(leg, leg_name, train, test, args, scene_ctx):
         "teacher_psnr": float(np.mean(t_psnrs)),
         "teacher_psnr_min": float(np.min(t_psnrs)),
         "teacher_ssim": float(np.mean(t_ssims)),
+        "teacher_ssim_min": float(np.min(t_ssims)),
         "psnr_vs_teacher": float(dreport["psnr_vs_teacher"]),
         "gate_tag": gate_tag,
     }
@@ -325,7 +322,7 @@ def run_turbo_leg(leg, leg_name, train, test, args, scene_ctx):
     return out
 
 
-def main() -> None:
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--steps", type=int, default=3000)
     parser.add_argument("--height", type=int, default=96)
@@ -367,10 +364,24 @@ def main() -> None:
         help="also distill + gate the narrow turbo student "
              "(train/distill.py; served by NeRFRenderer preset='turbo')",
     )
-    parser.add_argument("--turbo-steps", type=int, default=3000)
-    parser.add_argument("--turbo-depth", type=int, default=4)
-    parser.add_argument("--turbo-width", type=int, default=128)
-    parser.add_argument("--turbo-freqs", type=int, default=8)
+    # Turbo student defaults = train.distill.DEFAULT_STUDENT /
+    # DEFAULT_DISTILL_STEPS: the interior-robust 6x192@10f @ 50k recipe
+    # (4x128@8f + shorter budgets measured FAILING the room probe-grid
+    # gate — reports/quality_gate_room_turbo_fix*.md). A test asserts
+    # these stay in sync (tests/test_distill.py).
+    from nerf_workspaces_explorer_tpu.train.distill import (
+        DEFAULT_DISTILL_STEPS,
+        DEFAULT_STUDENT,
+    )
+
+    parser.add_argument("--turbo-steps", type=int,
+                        default=DEFAULT_DISTILL_STEPS)
+    parser.add_argument("--turbo-depth", type=int,
+                        default=DEFAULT_STUDENT["depth"])
+    parser.add_argument("--turbo-width", type=int,
+                        default=DEFAULT_STUDENT["width"])
+    parser.add_argument("--turbo-freqs", type=int,
+                        default=DEFAULT_STUDENT["num_freqs_3d"])
     parser.add_argument(
         "--turbo-n-importance", type=int, default=48,
         help="--turbo: importance samples the student serves with",
@@ -394,6 +405,21 @@ def main() -> None:
         "--max-turbo-psnr-drop", type=float, default=1.0,
         help="--turbo: fail if the student loses more test-vs-ground-truth "
              "PSNR than this vs its teacher leg's merged render (dB)",
+    )
+    # SSIM gates (round-4 VERDICT weak item 6: a student could pass the
+    # PSNR bar while smearing structure). Calibrated off the passing room
+    # report (quality_gate_room_turbo_fix_6x192_50k.md): mean SSIM drop vs
+    # teacher 0.0111, per-view min 0.7811 (teacher's own min 0.7871) — the
+    # failing 4x128 recipe sat at drop 0.0545 / min 0.7199.
+    parser.add_argument(
+        "--max-turbo-ssim-drop", type=float, default=0.03,
+        help="--turbo: fail if the student's mean SSIM on the gate views "
+             "falls more than this below the teacher's",
+    )
+    parser.add_argument(
+        "--min-turbo-ssim-ratio", type=float, default=0.92,
+        help="--turbo: fail if the student's WORST gate view drops below "
+             "this fraction of the teacher's worst-view SSIM",
     )
     parser.add_argument(
         "--report", type=str, default=None, metavar="MD_PATH",
@@ -435,7 +461,11 @@ def main() -> None:
              "this on the gate views (dB) — a gate that ranks the student "
              "above the teacher on held-out views is insensitive",
     )
-    args = parser.parse_args()
+    return parser
+
+
+def main() -> None:
+    args = build_parser().parse_args()
 
     from nerf_workspaces_explorer_tpu.core.config import (
         ExperimentConfig,
@@ -596,6 +626,29 @@ def main() -> None:
                 "the gate is not ranking teacher above student "
                 "(insensitive; round-3 VERDICT weak item 3)"
             )
+        # Structural gate: PSNR alone can pass a student that smears
+        # texture (round-4 VERDICT weak item 6).
+        ssim_drop = turbo["teacher_ssim"] - turbo["ssim"]
+        ssim_min_floor = args.min_turbo_ssim_ratio * turbo["teacher_ssim_min"]
+        print(
+            f"turbo SSIM gate: mean drop {ssim_drop:+.4f} vs teacher "
+            f"(allowed {args.max_turbo_ssim_drop}); worst view "
+            f"{turbo['ssim_min']:.4f} (floor {ssim_min_floor:.4f} = "
+            f"{args.min_turbo_ssim_ratio} x teacher min "
+            f"{turbo['teacher_ssim_min']:.4f})"
+        )
+        if ssim_drop > args.max_turbo_ssim_drop:
+            failures.append(
+                f"turbo student mean SSIM {turbo['ssim']:.4f} is "
+                f"{ssim_drop:.4f} below teacher {turbo['teacher_ssim']:.4f} "
+                f"> allowed {args.max_turbo_ssim_drop}"
+            )
+        if turbo["ssim_min"] < ssim_min_floor:
+            failures.append(
+                f"turbo student worst-view SSIM {turbo['ssim_min']:.4f} < "
+                f"floor {ssim_min_floor:.4f} "
+                f"({args.min_turbo_ssim_ratio} x teacher min)"
+            )
         if args.prop_subsample > 1 and "psnr_sub" in turbo:
             sub_drop = turbo["psnr"] - turbo["psnr_sub"]
             print(
@@ -677,7 +730,8 @@ def main() -> None:
                     f"| turbo | TEACHER on the same gate views (merged "
                     f"placement) | {turbo['teacher_psnr']:.2f} "
                     f"| {turbo['teacher_psnr_min']:.2f} "
-                    f"| {turbo['teacher_ssim']:.4f} | — | — | — |\n"
+                    f"| {turbo['teacher_ssim']:.4f} "
+                    f"| {turbo['teacher_ssim_min']:.4f} | — | — |\n"
                 )
                 if "psnr_sub" in turbo:
                     f.write(
@@ -686,6 +740,16 @@ def main() -> None:
                         f"| {turbo['psnr_sub_min']:.2f} "
                         f"| {turbo['ssim_sub']:.4f} | — | — | — |\n"
                     )
+                f.write(
+                    f"\nTurbo gates: PSNR drop vs teacher <= "
+                    f"{args.max_turbo_psnr_drop} dB; mean SSIM drop vs "
+                    f"teacher <= {args.max_turbo_ssim_drop} (measured "
+                    f"{turbo['teacher_ssim'] - turbo['ssim']:+.4f}); "
+                    f"worst-view SSIM >= {args.min_turbo_ssim_ratio} x "
+                    f"teacher worst view (floor "
+                    f"{args.min_turbo_ssim_ratio * turbo['teacher_ssim_min']:.4f}, "
+                    f"measured {turbo['ssim_min']:.4f}).\n"
+                )
             f.write(
                 "\nResult: "
                 + ("**QUALITY GATE FAILED**: " + "; ".join(failures)
