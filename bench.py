@@ -5,7 +5,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Primary metric (per BASELINE.json): ms/frame at 640x480 for the fastest
 QUALITY-GATED serving preset present:
 
-  - TURBO (when assets/bench/synth_proposal.turbo.npz exists): a narrow
+  - TURBO (when the fixture's .turbo.npz sidecar exists): a narrow
     student (train/distill.py DEFAULT_STUDENT) distilled offline from the
     trained fixture, served proposal-guided importance-only at int8 —
     gated by scripts/validate_quality.py --proposal --fast-preset --turbo.
@@ -62,9 +62,32 @@ DEGRADED_OVERHEAD_MS = 2.5 * TUNNEL_NORM_MS
 MAX_TIMING_ATTEMPTS = 5
 RETRY_SLEEP_S = 45.0
 
-FIXTURE = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "assets", "bench",
-    "synth_proposal.npz",
+
+def is_degraded_capture(headline_ms, device_ms) -> bool:
+    """True when a wall-clock capture can't be trusted as the round's
+    number: the tunnel's dispatch+fetch residual dwarfs the documented
+    ~35-60 ms norm (BENCH_r04 recorded 350 ms of it), or device time
+    could not be read at all (an unverifiable window)."""
+    if device_ms is None:
+        return True
+    return (headline_ms - device_ms) > DEGRADED_OVERHEAD_MS
+
+# Weight fixtures, most-representative first: the product renders Replica
+# INTERIORS (reference nerf/datasets/replica_dataset.py:25-39), so the
+# room-walkthrough fixture is the headline content when present
+# (make_bench_fixture.py --scene room; round-4 VERDICT item 3 — interiors
+# measurably behave differently from the free-floating orbit scene); the
+# legacy orbit fixture is the fallback.
+_BENCH_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "assets", "bench"
+)
+_FIXTURE_CANDIDATES = (
+    os.path.join(_BENCH_DIR, "room_proposal.npz"),
+    os.path.join(_BENCH_DIR, "synth_proposal.npz"),
+)
+FIXTURE = next(
+    (p for p in _FIXTURE_CANDIDATES if os.path.exists(p)),
+    _FIXTURE_CANDIDATES[1],
 )
 
 
@@ -404,12 +427,7 @@ def main() -> None:
         return t
 
     def _is_degraded(t: dict) -> bool:
-        """A capture is degraded when the tunnel's dispatch+fetch residual
-        dwarfs the documented norm, or when device time could not be read
-        at all (an unverifiable window)."""
-        if t["device_ms"] is None:
-            return True
-        return (t["headline_ms"] - t["device_ms"]) > DEGRADED_OVERHEAD_MS
+        return is_degraded_capture(t["headline_ms"], t["device_ms"])
 
     best = None
     attempts = 0

@@ -3,16 +3,19 @@
 Round-2 VERDICT: the benchmark rendered RANDOM-init weights (density
 everywhere), so early-termination behavior and int8 calibration statistics
 were not those of a trained scene with free space. This script trains two
-small checkpoints on the synthetic scene and saves them as repo fixtures:
+small checkpoints on a synthetic scene and saves them as repo fixtures
+(`synth_*` for the legacy orbit scene; `room_*` with --scene room — the
+interior fixture bench.py PREFERS when present, since the product renders
+Replica interiors):
 
-  assets/bench/synth_proposal.npz  — proposal(2x64) + fine(8x256), the
+  assets/bench/<scene>_proposal.npz — proposal(2x64) + fine(8x256), the
                                      serving configuration bench.py times;
-  assets/bench/synth_hier.npz      — coarse+fine 8x256 (reference placement);
-  assets/bench/synth_proposal.turbo.npz — narrow student (default 6x192@10f,
-                                     train/distill.py DEFAULT_STUDENT)
-                                     distilled from the proposal fixture,
-                                     the turbo preset bench.py times when
-                                     present.
+  assets/bench/<scene>_hier.npz     — coarse+fine 8x256 (reference placement);
+  assets/bench/<scene>_proposal.turbo.npz — narrow student (default
+                                     6x192@10f, train/distill.py
+                                     DEFAULT_STUDENT) distilled from the
+                                     proposal fixture, the turbo preset
+                                     bench.py times when present.
 
 The teachers train at the shipped office model config (8x256, 64+128
 samples, 1024 rays/step) on the 96x128 synthetic scene; bench.py renders
@@ -92,7 +95,8 @@ def train_one(name, use_proposal, steps, out_dir, scene_kind="orbit"):
                 f"psnr_fine {float(metrics['psnr_fine']):.2f}",
                 flush=True,
             )
-    path = os.path.join(out_dir, f"synth_{name}.npz")
+    prefix = "room" if scene_kind == "room" else "synth"
+    path = os.path.join(out_dir, f"{prefix}_{name}.npz")
     save_checkpoint(
         path,
         trainer.params,
@@ -128,7 +132,8 @@ def distill_turbo(steps, out_dir, *, depth, width, freqs,
         turbo_sidecar_path,
     )
 
-    teacher_path = os.path.join(out_dir, "synth_proposal.npz")
+    prefix = "room" if scene_kind == "room" else "synth"
+    teacher_path = os.path.join(out_dir, f"{prefix}_proposal.npz")
     teacher_params, _, _, _ = load_checkpoint(teacher_path)
     h, w = 96, 128
     train, test, depth_range, _ = build_scene(scene_kind, h, w)
