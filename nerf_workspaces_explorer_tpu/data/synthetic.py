@@ -377,8 +377,39 @@ def render_room_ground_truth(
     far: float = 8.0,
     n_samples: int = 320,
     hfov_degrees: float = 90.0,
+    cache_dir: Optional[str] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Dense-march the analytic room field -> (rgb [N,H,W,3], depth)."""
+    """Dense-march the analytic room field -> (rgb [N,H,W,3], depth).
+
+    Pass `cache_dir` to memoize on disk, keyed by the pose set and every
+    geometry/sampling parameter (same convention as
+    `make_room_scene_splits`) — probe-grid/coverage GT is re-rendered by
+    every gate run otherwise.
+    """
+    poses = np.asarray(poses, dtype=np.float32)
+    key = None
+    if cache_dir is not None:
+        import hashlib
+
+        digest = hashlib.md5()
+        digest.update(
+            repr((height, width, near, far, n_samples, hfov_degrees,
+                  _ROOM_GT_VERSION)).encode()
+        )
+        digest.update(np.ascontiguousarray(poses).tobytes())
+        for field in scene:
+            digest.update(
+                np.ascontiguousarray(np.asarray(field, np.float32)).tobytes()
+            )
+        key = os.path.join(
+            cache_dir, f"room_gt_{digest.hexdigest()[:12]}.npz"
+        )
+        if os.path.exists(key):
+            with np.load(key) as arrays:
+                return (
+                    arrays["rgb"].astype(np.float32) / 255.0,
+                    arrays["depth"].astype(np.float32),
+                )
     fx = width / 2.0 / np.tan(np.radians(hfov_degrees / 2.0))
     cx, cy = (width - 1.0) / 2.0, (height - 1.0) / 2.0
 
@@ -398,7 +429,22 @@ def render_room_ground_truth(
         rgb, depth = render_pose(jnp.asarray(pose))
         rgbs.append(np.asarray(rgb))
         depths.append(np.asarray(depth))
-    return np.stack(rgbs), np.stack(depths)
+    rgb_all, depth_all = np.stack(rgbs), np.stack(depths)
+    if key is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez_compressed(
+            key,
+            rgb=np.round(np.clip(rgb_all, 0.0, 1.0) * 255.0).astype(np.uint8),
+            depth=depth_all.astype(np.float16),
+        )
+        # Serve the quantized representation so cached and fresh callers
+        # see the SAME ground truth (same rule as make_room_scene_splits).
+        rgb_all = (
+            np.round(np.clip(rgb_all, 0.0, 1.0) * 255.0)
+            .astype(np.uint8).astype(np.float32) / 255.0
+        )
+        depth_all = depth_all.astype(np.float16).astype(np.float32)
+    return rgb_all, depth_all
 
 
 def make_room_scene_splits(

@@ -90,7 +90,8 @@ def main() -> None:
     # --scene room defaults: grid=3, yaws 0/90/180/270, y=-0.1).
     gate_poses = room_grid_poses(half=half, grid=3)
     gate_gt, _ = render_room_ground_truth(
-        scene, gate_poses, h, w, near=near, far=far
+        scene, gate_poses, h, w, near=near, far=far,
+        cache_dir=args.cache_dir,
     )
 
     # Training coverage grid: disjoint positions (4x4 vs 3x3 over the same

@@ -500,7 +500,8 @@ def main() -> None:
                 half=np.asarray(scene.half), grid=args.grid
             )
             grid_gt, _ = render_room_ground_truth(
-                scene, grid_poses, h, w, near=near, far=far
+                scene, grid_poses, h, w, near=near, far=far,
+                cache_dir=args.cache_dir,
             )
             scene_ctx["grid_poses"] = grid_poses
             scene_ctx["grid_gt"] = grid_gt
