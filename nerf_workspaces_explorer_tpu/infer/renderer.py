@@ -241,6 +241,15 @@ class NeRFRenderer:
             # uniform coarse depths through the fine net purely to mirror
             # sort(cat(z_vals, z_samples)), …inference_handler.py:243).
             # Gate: scripts/validate_quality.py --fast-preset.
+            # SCENE-CONDITIONED: importance-only placement passes on the
+            # free-floating orbit scene (reports/quality_gate_20k.md) but
+            # FAILS interiors — -2.38 dB vs merged placement on the room
+            # walkthrough (31.02 vs 33.40 dB at n_importance=128,
+            # reports/quality_gate_room_defaults.md) — because interior
+            # frusta see density everywhere and the merged uniform
+            # samples carry real signal. For interior content (all four
+            # shipped offices) serve "reference" (the default) or a
+            # gated "turbo" student instead.
             self._settings = self._settings._replace(merge_coarse=False)
             if use_proposal and use_pallas:
                 # Proposal-guided fast serving also defaults to the
