@@ -245,7 +245,7 @@ class NeRFRenderer:
             # free-floating orbit scene (reports/quality_gate_20k.md) but
             # FAILS interiors — -2.38 dB vs merged placement on the room
             # walkthrough (31.02 vs 33.40 dB at n_importance=128,
-            # reports/quality_gate_room_defaults.md) — because interior
+            # reports/quality_gate_room_fast_partial.md) — because interior
             # frusta see density everywhere and the merged uniform
             # samples carry real signal. For interior content (all four
             # shipped offices) serve "reference" (the default) or a
