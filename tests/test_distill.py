@@ -379,3 +379,22 @@ def test_room_coverage_poses_disjoint_from_gate_grid():
         cover_pos[:, None, :] - gate_pos[None, :, :], axis=-1
     )
     assert d.min() > 0.05
+
+
+def test_quality_gate_parser_has_ssim_thresholds():
+    """Round-4 VERDICT weak item 6: the turbo gate must threshold SSIM
+    (mean drop vs teacher + worst-view floor), not PSNR alone."""
+    import importlib.util
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    spec = importlib.util.spec_from_file_location(
+        "_vq_ssim", os.path.join(root, "scripts", "validate_quality.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    args = mod.build_parser().parse_args([])
+    # Calibrated off the passing room report (drop 0.0111, min 0.7811 vs
+    # teacher min 0.7871); the failing 4x128 recipe (0.0545, 0.7199)
+    # must trip both.
+    assert 0.011 < args.max_turbo_ssim_drop < 0.055
+    assert 0.7199 / 0.7871 < args.min_turbo_ssim_ratio < 0.7811 / 0.7871
